@@ -1,0 +1,50 @@
+"""libdwt_tpu — a TPU-native discrete wavelet transform framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+xbarin02/libdwt (lifting-scheme DWT over 1-D/2-D/3-D data, CDF 5/3 & 9/7
+float and reversible-integer, multi-level MRA, SWT, edge-avoiding
+wavelets, time-frequency analysis, denoising, feature extraction),
+built TPU-first: batched data-parallel lifting under XLA, fused Pallas
+tile kernels for the hot path, and sharded multi-chip transforms with
+halo exchange over ICI/DCN.
+"""
+
+from libdwt_tpu.models.wavelets import (
+    CDF53,
+    CDF97,
+    INTERP53,
+    REGISTRY,
+    Wavelet,
+    get_wavelet,
+)
+from libdwt_tpu.ops.separable import (
+    dwt1,
+    dwt2_level,
+    dwt3_level,
+    fdwt1,
+    fdwt2,
+    fdwt3,
+    idwt1,
+    idwt1_packed,
+    idwt2,
+    idwt2_level,
+    idwt3,
+    idwt3_level,
+    wavedec1,
+    wavedec2,
+    wavedec3,
+    waverec1,
+    waverec2,
+    waverec3,
+)
+from libdwt_tpu.utils.subband import (
+    band_rect,
+    band_view,
+    ceil_div_pow2,
+    count_subbands,
+    j_limit,
+    level_sizes,
+    resolve_j,
+)
+
+__version__ = "0.1.0"

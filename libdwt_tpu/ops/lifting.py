@@ -1,0 +1,200 @@
+"""Vectorized 1-D lifting engine (the TPU-native ``accel_lift_op4s`` analogue).
+
+The reference implements lifting as sequential C loops over one line
+(/root/reference/src/libdwt.c:2024-2133 and the ~8.5 kLoC ``accel_lift_op4s_*``
+kernel zoo).  On TPU each lifting step is instead ONE data-parallel
+elementwise pass over the whole (batched) polyphase channel: every odd
+sample's predict and every even sample's update is independent within a
+step.  The 17-variant CPU kernel zoo collapses into these few functions;
+XLA fuses the passes, and the Pallas kernels in ``ops.fused`` re-use the
+same step algebra on VMEM tiles.
+
+Border semantics reproduced exactly: whole-point symmetric extension
+(mirror without edge repetition), expressed as neighbour clamping of the
+opposite polyphase channel:
+
+  d[i] uses s[i], s[i+1]            with s[nl] := s[nl-1]  (even N right edge)
+  s[i] uses d[i-1], d[i]            with d[-1] := d[0], d[nh] := d[nh-1]
+
+which matches the reference's explicit boundary statements, e.g.
+``tmp[0] += 2*u*tmp[1]`` and ``tmp[N-1] -= 2*p*tmp[N-2]``
+(/root/reference/src/libdwt.c:2046-2058).
+
+The low channel gets ceil(N/2) samples, the high channel floor(N/2)
+(/root/reference/src/libdwt.c:2082-2083).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from libdwt_tpu.models.wavelets import Wavelet, get_wavelet
+
+
+# ------------------------------------------------------------------ polyphase
+
+
+def split(x: jax.Array, axis: int = -1) -> Tuple[jax.Array, jax.Array]:
+    """Split into even (s/low-to-be) and odd (d/high-to-be) polyphase channels."""
+    x = jnp.moveaxis(x, axis, -1)
+    s = x[..., 0::2]
+    d = x[..., 1::2]
+    return jnp.moveaxis(s, -1, axis), jnp.moveaxis(d, -1, axis)
+
+
+def merge(s: jax.Array, d: jax.Array, axis: int = -1) -> jax.Array:
+    """Interleave polyphase channels back into one signal."""
+    s = jnp.moveaxis(s, axis, -1)
+    d = jnp.moveaxis(d, axis, -1)
+    nl = s.shape[-1]
+    nh = d.shape[-1]
+    n = nl + nh
+    if nl == nh:
+        out = jnp.stack([s, d], axis=-1).reshape(*s.shape[:-1], n)
+    else:
+        # odd length: one trailing even sample
+        pad = jnp.zeros_like(d[..., :1])
+        out = jnp.stack([s, jnp.concatenate([d, pad], axis=-1)], axis=-1)
+        out = out.reshape(*s.shape[:-1], 2 * nl)[..., :n]
+    return jnp.moveaxis(out, -1, axis)
+
+
+# ----------------------------------------------------- mirrored neighbourhoods
+
+
+def _d_neighbors(s: jax.Array, nh: int) -> Tuple[jax.Array, jax.Array]:
+    """(left, right) even-channel neighbours of each odd sample, mirrored."""
+    nl = s.shape[-1]
+    left = s[..., :nh]
+    if nl > nh:  # odd N: every odd sample has a true right neighbour
+        right = s[..., 1 : nh + 1]
+    else:  # even N: the last odd sample mirrors its left neighbour
+        right = jnp.concatenate([s[..., 1:], s[..., -1:]], axis=-1)
+    return left, right
+
+
+def _s_neighbors(d: jax.Array, nl: int) -> Tuple[jax.Array, jax.Array]:
+    """(left, right) odd-channel neighbours of each even sample, mirrored."""
+    nh = d.shape[-1]
+    left = jnp.concatenate([d[..., :1], d[..., : nl - 1]], axis=-1)
+    if nl == nh:
+        right = d
+    else:  # odd N: the last even sample mirrors its left neighbour
+        right = jnp.concatenate([d, d[..., -1:]], axis=-1)
+    return left, right
+
+
+# ------------------------------------------------------------------ float path
+
+
+def _float_steps(s, d, wavelet: Wavelet, inverse: bool):
+    nl, nh = s.shape[-1], d.shape[-1]
+    steps = wavelet.steps[::-1] if inverse else wavelet.steps
+    sign = -1.0 if inverse else 1.0
+    for step in steps:
+        c = jnp.asarray(sign * step.coeff, dtype=s.dtype)
+        if step.target == "d":
+            l, r = _d_neighbors(s, nh)
+            d = d + c * (l + r)
+        else:
+            l, r = _s_neighbors(d, nl)
+            s = s + c * (l + r)
+    return s, d
+
+
+def _int_steps(s, d, wavelet: Wavelet, inverse: bool):
+    if wavelet.int_steps is None:
+        raise ValueError(f"wavelet {wavelet.name} has no reversible integer path")
+    nl, nh = s.shape[-1], d.shape[-1]
+    steps = wavelet.int_steps[::-1] if inverse else wavelet.int_steps
+    for step in steps:
+        sign = -step.sign if inverse else step.sign
+        if step.target == "d":
+            l, r = _d_neighbors(s, nh)
+        else:
+            l, r = _s_neighbors(d, nl)
+        # C-exact: (w*(l+r) + k) >> shift with arithmetic shift
+        # (/root/reference/src/libdwt.c:10918-10943, 10964-10981).
+        v = jax.lax.shift_right_arithmetic(
+            step.w * (l + r) + step.k, jnp.asarray(step.shift, dtype=s.dtype)
+        )
+        if step.target == "d":
+            d = d + sign * v
+        else:
+            s = s + sign * v
+    return s, d
+
+
+# ------------------------------------------------------------------ public API
+
+
+def lift_fwd(
+    x: jax.Array, wavelet="cdf97", axis: int = -1
+) -> Tuple[jax.Array, jax.Array]:
+    """Forward 1-D lifting DWT along ``axis`` (batched over all other axes).
+
+    Returns (low, high) with sizes (ceil(N/2), floor(N/2)).
+    Float dtypes follow /root/reference/src/libdwt.c:2024 (dwt_cdf97_f_ex_stride_d);
+    integer dtypes follow the reversible path at :10901 (dwt_cdf97_f_ex_stride_i).
+    """
+    wavelet = get_wavelet(wavelet)
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    is_int = jnp.issubdtype(x.dtype, jnp.integer)
+
+    if n == 0:
+        s, d = x, x
+    elif n == 1:
+        # reference: float scales the single sample by s1; int leaves it as-is
+        # (libdwt.c:2038-2041 vs :10912-10913).
+        if is_int:
+            s = x
+        else:
+            s = x * jnp.asarray(wavelet.scale_s or 1.0, x.dtype)
+        d = x[..., :0]
+    else:
+        s, d = x[..., 0::2], x[..., 1::2]
+        if is_int:
+            s, d = _int_steps(s, d, wavelet, inverse=False)
+        else:
+            s, d = _float_steps(s, d, wavelet, inverse=False)
+            if wavelet.scale_s is not None:
+                s = s * jnp.asarray(wavelet.scale_s, x.dtype)
+                d = d * jnp.asarray(wavelet.scale_d, x.dtype)
+
+    return jnp.moveaxis(s, -1, axis), jnp.moveaxis(d, -1, axis)
+
+
+def lift_inv(
+    low: jax.Array, high: jax.Array, wavelet="cdf97", axis: int = -1
+) -> jax.Array:
+    """Inverse of :func:`lift_fwd` (semantics of dwt_cdf97_i_ex_stride_d,
+    /root/reference/src/libdwt.c:11424-11483)."""
+    wavelet = get_wavelet(wavelet)
+    s = jnp.moveaxis(low, axis, -1)
+    d = jnp.moveaxis(high, axis, -1)
+    n = s.shape[-1] + d.shape[-1]
+    is_int = jnp.issubdtype(s.dtype, jnp.integer)
+
+    if n == 0:
+        return jnp.moveaxis(s, -1, axis)
+    if n == 1:
+        if is_int:
+            x = s
+        else:
+            x = s * jnp.asarray(wavelet.scale_d or 1.0, s.dtype)
+        return jnp.moveaxis(x, -1, axis)
+
+    if is_int:
+        s, d = _int_steps(s, d, wavelet, inverse=True)
+    else:
+        if wavelet.scale_s is not None:
+            s = s * jnp.asarray(wavelet.scale_d, s.dtype)  # s2 == 1/s1
+            d = d * jnp.asarray(wavelet.scale_s, d.dtype)
+        s, d = _float_steps(s, d, wavelet, inverse=True)
+
+    x = merge(s, d, axis=-1)
+    return jnp.moveaxis(x, -1, axis)

@@ -1,0 +1,101 @@
+"""Parity tests against golden vectors produced by the compiled reference
+library (.refbuild/gen_golden.c runs the reference's own transforms with
+accel=0 plain-C kernels and dumps inputs/outputs; see tests/make_golden.py).
+
+Integer transforms must match BIT-EXACTLY; float transforms to tight
+tolerance (identical step order, differing only in FP association inside
+a vectorized step).
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from libdwt_tpu import dwt1, fdwt2, idwt2
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "golden.npz")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(GOLDEN), reason="golden vectors not generated"
+)
+
+
+@pytest.fixture(scope="module")
+def g():
+    return np.load(GOLDEN)
+
+
+SIZES_1D = [2, 3, 5, 7, 8, 15, 16, 17, 37, 64, 100]
+
+
+@pytest.mark.parametrize("n", SIZES_1D)
+@pytest.mark.parametrize(
+    "wavelet,prec,tol",
+    [
+        ("cdf97", "f32", 2e-5),
+        ("cdf53", "f32", 2e-5),
+        ("interp53", "f32", 2e-5),
+        ("cdf97", "f64", 1e-12),
+        ("cdf53", "f64", 1e-12),
+    ],
+)
+def test_1d_forward_matches_reference(g, n, wavelet, prec, tol):
+    key = f"{wavelet}_{prec}_{n}"
+    if f"{key}_L" not in g:
+        pytest.skip("combo not dumped")
+    x = g[f"x_{prec}_{n}"][0]
+    lo, hi = dwt1(jnp.asarray(x), wavelet)
+    np.testing.assert_allclose(np.asarray(lo), g[f"{key}_L"][0], atol=tol, rtol=0)
+    np.testing.assert_allclose(np.asarray(hi), g[f"{key}_H"][0], atol=tol, rtol=0)
+
+
+@pytest.mark.parametrize("n", SIZES_1D)
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53"])
+def test_1d_int_forward_bitexact_vs_reference(g, n, wavelet):
+    x = g[f"x_i32_{n}"][0]
+    lo, hi = dwt1(jnp.asarray(x), wavelet)
+    np.testing.assert_array_equal(np.asarray(lo), g[f"{wavelet}_i32_{n}_L"][0])
+    np.testing.assert_array_equal(np.asarray(hi), g[f"{wavelet}_i32_{n}_H"][0])
+
+
+CASES_2D_F32 = [
+    (16, 16, 1),
+    (16, 16, 3),
+    (17, 13, 2),
+    (32, 32, 5),
+    (33, 31, 4),
+    (64, 48, None),  # reference called with j=-1 -> clamped to j_limit
+]
+
+
+@pytest.mark.parametrize("ny,nx,j", CASES_2D_F32)
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53"])
+def test_2d_forward_matches_reference(g, ny, nx, j, wavelet):
+    jname = j if j is not None else -1
+    key = f"{wavelet}_2f_f32_{ny}x{nx}_j{jname}"
+    if key not in g:
+        pytest.skip("combo not dumped")
+    img = g[f"img_f32_{ny}x{nx}"]
+    got = np.asarray(fdwt2(jnp.asarray(img), wavelet, j))
+    np.testing.assert_allclose(got, g[key], atol=5e-4, rtol=0)
+
+
+@pytest.mark.parametrize("ny,nx,j", [(16, 16, 3), (17, 13, 2), (32, 32, 5)])
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53"])
+def test_2d_int_forward_bitexact_vs_reference(g, ny, nx, j, wavelet):
+    key = f"{wavelet}_2f_i32_{ny}x{nx}_j{j}"
+    img = g[f"img_i32_{ny}x{nx}"]
+    got = np.asarray(fdwt2(jnp.asarray(img), wavelet, j))
+    np.testing.assert_array_equal(got, g[key])
+
+
+@pytest.mark.parametrize("ny,nx,j", [(16, 16, 3), (32, 32, 5), (33, 31, 4)])
+def test_2d_inverse_matches_reference(g, ny, nx, j):
+    """Our inverse applied to the REFERENCE's forward output must reproduce
+    the reference's own inverse result (which is ~the original image)."""
+    fwd = g[f"cdf97_2f_f32_{ny}x{nx}_j{j}"]
+    ref_rec = g[f"cdf97_2i_f32_{ny}x{nx}_j{j}"]
+    got = np.asarray(idwt2(jnp.asarray(fwd), "cdf97", j))
+    np.testing.assert_allclose(got, ref_rec, atol=5e-4, rtol=0)

@@ -1,0 +1,218 @@
+/* Golden test-vector generator: runs the REFERENCE library's transforms on
+ * synthetic inputs and dumps raw arrays, so the new TPU framework can be
+ * verified for exact semantic parity.  (This file is ours; it only *calls*
+ * the reference.)  Output: a simple binary container consumed by
+ * tests/make_golden.py.  */
+#include "libdwt.h"
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+static FILE *out;
+
+static void dump(const char *name, const char *dtype, int ny, int nx, const void *data, size_t elem)
+{
+    int namelen = (int)strlen(name);
+    int dtypelen = (int)strlen(dtype);
+    fwrite(&namelen, 4, 1, out);
+    fwrite(name, 1, namelen, out);
+    fwrite(&dtypelen, 4, 1, out);
+    fwrite(dtype, 1, dtypelen, out);
+    fwrite(&ny, 4, 1, out);
+    fwrite(&nx, 4, 1, out);
+    fwrite(data, elem, (size_t)ny * nx, out);
+}
+
+/* deterministic pseudo-random floats in [-1, 1) */
+static unsigned lcg_state = 12345;
+static float frand(void)
+{
+    lcg_state = lcg_state * 1664525u + 1013904223u;
+    return (float)((double)lcg_state / 2147483648.0 - 1.0);
+}
+static void reset_rand(unsigned seed) { lcg_state = seed; }
+
+static void gen_1d_float(int N)
+{
+    char name[128];
+    float *src = malloc(sizeof(float) * N);
+    float *tmp = malloc(sizeof(float) * (N + 16) * 4); /* worker-padded temp */
+    float *lo = malloc(sizeof(float) * N);
+    float *hi = malloc(sizeof(float) * N);
+    int nl = (N + 1) / 2, nh = N / 2;
+
+    reset_rand(1000 + N);
+    for (int i = 0; i < N; i++) src[i] = frand();
+    snprintf(name, sizeof name, "x_f32_%d", N);
+    dump(name, "f32", 1, N, src, 4);
+
+    /* CDF 9/7 float */
+    dwt_cdf97_f_ex_stride_s(src, lo, hi, tmp, N, sizeof(float));
+    snprintf(name, sizeof name, "cdf97_f32_%d_L", N);
+    dump(name, "f32", 1, nl, lo, 4);
+    snprintf(name, sizeof name, "cdf97_f32_%d_H", N);
+    dump(name, "f32", 1, nh, hi, 4);
+
+    /* CDF 5/3 float */
+    dwt_cdf53_f_ex_stride_s(src, lo, hi, tmp, N, sizeof(float));
+    snprintf(name, sizeof name, "cdf53_f32_%d_L", N);
+    dump(name, "f32", 1, nl, lo, 4);
+    snprintf(name, sizeof name, "cdf53_f32_%d_H", N);
+    dump(name, "f32", 1, nh, hi, 4);
+
+    /* interp 5/3 float */
+    dwt_interp53_f_ex_stride_s(src, lo, hi, tmp, N, sizeof(float));
+    snprintf(name, sizeof name, "interp53_f32_%d_L", N);
+    dump(name, "f32", 1, nl, lo, 4);
+    snprintf(name, sizeof name, "interp53_f32_%d_H", N);
+    dump(name, "f32", 1, nh, hi, 4);
+
+    free(src); free(tmp); free(lo); free(hi);
+}
+
+static void gen_1d_double(int N)
+{
+    char name[128];
+    double *src = malloc(sizeof(double) * N);
+    double *tmp = malloc(sizeof(double) * (N + 16));
+    double *lo = malloc(sizeof(double) * N);
+    double *hi = malloc(sizeof(double) * N);
+    int nl = (N + 1) / 2, nh = N / 2;
+
+    reset_rand(2000 + N);
+    for (int i = 0; i < N; i++) src[i] = (double)frand();
+    snprintf(name, sizeof name, "x_f64_%d", N);
+    dump(name, "f64", 1, N, src, 8);
+
+    dwt_cdf97_f_ex_stride_d(src, lo, hi, tmp, N, sizeof(double));
+    snprintf(name, sizeof name, "cdf97_f64_%d_L", N);
+    dump(name, "f64", 1, nl, lo, 8);
+    snprintf(name, sizeof name, "cdf97_f64_%d_H", N);
+    dump(name, "f64", 1, nh, hi, 8);
+
+    dwt_cdf53_f_ex_stride_d(src, lo, hi, tmp, N, sizeof(double));
+    snprintf(name, sizeof name, "cdf53_f64_%d_L", N);
+    dump(name, "f64", 1, nl, lo, 8);
+    snprintf(name, sizeof name, "cdf53_f64_%d_H", N);
+    dump(name, "f64", 1, nh, hi, 8);
+
+    free(src); free(tmp); free(lo); free(hi);
+}
+
+static void gen_1d_int(int N)
+{
+    char name[128];
+    int *src = malloc(sizeof(int) * N);
+    int *tmp = malloc(sizeof(int) * (N + 16));
+    int *lo = malloc(sizeof(int) * N);
+    int *hi = malloc(sizeof(int) * N);
+    int nl = (N + 1) / 2, nh = N / 2;
+
+    reset_rand(3000 + N);
+    for (int i = 0; i < N; i++) src[i] = (int)(frand() * 30000.f);
+    snprintf(name, sizeof name, "x_i32_%d", N);
+    dump(name, "i32", 1, N, src, 4);
+
+    dwt_cdf97_f_ex_stride_i(src, lo, hi, tmp, N, sizeof(int));
+    snprintf(name, sizeof name, "cdf97_i32_%d_L", N);
+    dump(name, "i32", 1, nl, lo, 4);
+    snprintf(name, sizeof name, "cdf97_i32_%d_H", N);
+    dump(name, "i32", 1, nh, hi, 4);
+
+    dwt_cdf53_f_ex_stride_i(src, lo, hi, tmp, N, sizeof(int));
+    snprintf(name, sizeof name, "cdf53_i32_%d_L", N);
+    dump(name, "i32", 1, nl, lo, 4);
+    snprintf(name, sizeof name, "cdf53_i32_%d_H", N);
+    dump(name, "i32", 1, nh, hi, 4);
+
+    free(src); free(tmp); free(lo); free(hi);
+}
+
+static void gen_2d_float(int ny, int nx, int j)
+{
+    char name[128];
+    const int stride_y = sizeof(float);
+    const int stride_x = nx * sizeof(float);
+    float *img = malloc((size_t)ny * nx * sizeof(float));
+
+    dwt_util_test_image_fill_s(img, stride_x, stride_y, nx, ny, 0);
+    snprintf(name, sizeof name, "img_f32_%dx%d", ny, nx);
+    dump(name, "f32", ny, nx, img, 4);
+
+    int jj = j;
+    dwt_cdf97_2f_s(img, stride_x, stride_y, nx, ny, nx, ny, &jj, 0, 0);
+    snprintf(name, sizeof name, "cdf97_2f_f32_%dx%d_j%d", ny, nx, j);
+    dump(name, "f32", ny, nx, img, 4);
+
+    /* round-trip back for inverse parity too */
+    dwt_cdf97_2i_s(img, stride_x, stride_y, nx, ny, nx, ny, jj, 0, 0);
+    snprintf(name, sizeof name, "cdf97_2i_f32_%dx%d_j%d", ny, nx, j);
+    dump(name, "f32", ny, nx, img, 4);
+
+    /* CDF 5/3 */
+    dwt_util_test_image_fill_s(img, stride_x, stride_y, nx, ny, 0);
+    jj = j;
+    dwt_cdf53_2f_s(img, stride_x, stride_y, nx, ny, nx, ny, &jj, 0, 0);
+    snprintf(name, sizeof name, "cdf53_2f_f32_%dx%d_j%d", ny, nx, j);
+    dump(name, "f32", ny, nx, img, 4);
+
+    free(img);
+}
+
+static void gen_2d_int(int ny, int nx, int j)
+{
+    char name[128];
+    const int stride_y = sizeof(int);
+    const int stride_x = nx * sizeof(int);
+    int *img = malloc((size_t)ny * nx * sizeof(int));
+
+    reset_rand(4000 + ny * 131 + nx);
+    for (int i = 0; i < ny * nx; i++) img[i] = (int)(frand() * 255.f);
+    snprintf(name, sizeof name, "img_i32_%dx%d", ny, nx);
+    dump(name, "i32", ny, nx, img, 4);
+
+    int jj = j;
+    dwt_cdf97_2f_i(img, stride_x, stride_y, nx, ny, nx, ny, &jj, 0, 0);
+    snprintf(name, sizeof name, "cdf97_2f_i32_%dx%d_j%d", ny, nx, j);
+    dump(name, "i32", ny, nx, img, 4);
+
+    reset_rand(4000 + ny * 131 + nx);
+    for (int i = 0; i < ny * nx; i++) img[i] = (int)(frand() * 255.f);
+    jj = j;
+    dwt_cdf53_2f_i(img, stride_x, stride_y, nx, ny, nx, ny, &jj, 0, 0);
+    snprintf(name, sizeof name, "cdf53_2f_i32_%dx%d_j%d", ny, nx, j);
+    dump(name, "i32", ny, nx, img, 4);
+
+    free(img);
+}
+
+int main(void)
+{
+    dwt_util_init();
+    dwt_util_set_num_threads(1);
+    dwt_util_set_accel(0); /* plain C kernels: the semantic ground truth */
+
+    out = fopen("golden.bin", "wb");
+    if (!out) return 1;
+
+    int sizes1d[] = {2, 3, 5, 7, 8, 15, 16, 17, 37, 64, 100};
+    for (unsigned i = 0; i < sizeof(sizes1d) / sizeof(int); i++) {
+        gen_1d_float(sizes1d[i]);
+        gen_1d_double(sizes1d[i]);
+        gen_1d_int(sizes1d[i]);
+    }
+
+    gen_2d_float(16, 16, 1);
+    gen_2d_float(16, 16, 3);
+    gen_2d_float(17, 13, 2);
+    gen_2d_float(32, 32, 5);
+    gen_2d_float(33, 31, 4);
+    gen_2d_float(64, 48, -1); /* full depth via clamp */
+    gen_2d_int(16, 16, 3);
+    gen_2d_int(17, 13, 2);
+    gen_2d_int(32, 32, 5);
+
+    fclose(out);
+    dwt_util_finish();
+    return 0;
+}
