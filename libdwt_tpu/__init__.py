@@ -46,5 +46,18 @@ from libdwt_tpu.utils.subband import (
     level_sizes,
     resolve_j,
 )
+from libdwt_tpu.api import get_impl, set_impl
+from libdwt_tpu.api import dwt2 as dwt2_level_fast, idwt2 as idwt2_level_fast
+from libdwt_tpu.api import wavedec2 as wavedec2_fast, waverec2 as waverec2_fast
+from libdwt_tpu.ops.conv import convolve1, find_max_pos
+from libdwt_tpu.ops.fused import fused_dwt2_level, fused_idwt2_level
+from libdwt_tpu.ops.swt import (
+    analysis_filters,
+    iswt1,
+    iswt2,
+    swt1,
+    swt2,
+    swt_level,
+)
 
 __version__ = "0.1.0"

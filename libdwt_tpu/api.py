@@ -1,0 +1,129 @@
+"""High-level dispatching API: pick the best kernel strategy per call.
+
+The reference exposes a global ``accel_type`` 0-16 selecting one of 17
+hand-tuned main-loop kernels (/root/reference/src/libdwt.h:1703-1726,
+dispatch /root/reference/src/libdwt.c:10577-10736).  On TPU that design
+space collapses to two strategies plus a policy:
+
+  * ``separable`` — pure-XLA batched lifting (the oracle; always valid)
+  * ``fused``     — single-loop Pallas strip kernel (fast path)
+  * ``auto``      — fused when the level geometry supports it, else oracle
+
+A global default (set_impl/get_impl) mirrors dwt_util_set_accel; every
+function also takes an explicit ``impl=`` override.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from libdwt_tpu.models.wavelets import get_wavelet
+from libdwt_tpu.ops import separable as _sep
+from libdwt_tpu.ops.fused import HALO, fused_dwt2_level, fused_idwt2_level
+from libdwt_tpu.utils.subband import resolve_j
+
+__all__ = [
+    "set_impl",
+    "get_impl",
+    "dwt2",
+    "idwt2",
+    "wavedec2",
+    "waverec2",
+]
+
+_IMPLS = ("auto", "fused", "separable")
+_default_impl = "auto"
+
+#: below this edge length the fused kernel's padding overhead and tiny
+#: strips are not worth it; the oracle is used instead.
+_FUSED_MIN_SIZE = 32
+
+
+def set_impl(impl: str) -> None:
+    """Set the global kernel strategy (dwt_util_set_accel analogue)."""
+    global _default_impl
+    if impl not in _IMPLS:
+        raise ValueError(f"impl must be one of {_IMPLS}")
+    _default_impl = impl
+
+
+def get_impl() -> str:
+    return _default_impl
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _use_fused(h: int, w: int, wavelet, impl: Optional[str]) -> bool:
+    impl = impl or _default_impl
+    if impl == "separable":
+        return False
+    wavelet = get_wavelet(wavelet)
+    feasible = min(h, w) >= _FUSED_MIN_SIZE
+    if impl == "fused":
+        if not feasible:
+            raise ValueError(f"fused impl needs min(h,w) >= {_FUSED_MIN_SIZE}")
+        return True
+    return feasible and _on_tpu()
+
+
+def dwt2(x, wavelet="cdf97", impl: Optional[str] = None):
+    """Single-level 2-D forward transform -> (LL, HL, LH, HH)."""
+    h, w = x.shape[-2], x.shape[-1]
+    if _use_fused(h, w, wavelet, impl):
+        if x.ndim == 2:
+            return fused_dwt2_level(x, wavelet)
+        flat = x.reshape((-1,) + x.shape[-2:])
+        outs = [fused_dwt2_level(flat[i], wavelet) for i in range(flat.shape[0])]
+        return tuple(
+            jnp.stack([o[k] for o in outs]).reshape(x.shape[:-2] + outs[0][k].shape)
+            for k in range(4)
+        )
+    return _sep.dwt2_level(x, wavelet)
+
+
+def idwt2(ll, hl, lh, hh, wavelet="cdf97", impl: Optional[str] = None):
+    """Single-level 2-D inverse transform."""
+    h = ll.shape[-2] + hh.shape[-2]
+    w = ll.shape[-1] + hh.shape[-1]
+    if _use_fused(h, w, wavelet, impl):
+        if ll.ndim == 2:
+            return fused_idwt2_level(ll, hl, lh, hh, wavelet)
+        shape = ll.shape[:-2]
+        fl = [a.reshape((-1,) + a.shape[-2:]) for a in (ll, hl, lh, hh)]
+        outs = [
+            fused_idwt2_level(fl[0][i], fl[1][i], fl[2][i], fl[3][i], wavelet)
+            for i in range(fl[0].shape[0])
+        ]
+        return jnp.stack(outs).reshape(shape + outs[0].shape)
+    return _sep.idwt2_level(ll, hl, lh, hh, wavelet)
+
+
+def wavedec2(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str] = None):
+    """Multi-level 2-D MRA -> [LL_J, (HL_J, LH_J, HH_J), ..., (HL_1, LH_1, HH_1)].
+
+    Semantics of dwt_cdf97_2f_s's level loop
+    (/root/reference/src/libdwt.c:12807-12894) on the pytree layout.
+    """
+    h, w = x.shape[-2], x.shape[-1]
+    j = resolve_j(h, w, level)
+    coeffs = []
+    ll = x
+    for _ in range(j):
+        ll, hl, lh, hh = dwt2(ll, wavelet, impl=impl)
+        coeffs.append((hl, lh, hh))
+    return [ll] + coeffs[::-1]
+
+
+def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None):
+    """Inverse of :func:`wavedec2`."""
+    ll = coeffs[0]
+    for hl, lh, hh in coeffs[1:]:
+        ll = idwt2(ll, hl, lh, hh, wavelet, impl=impl)
+    return ll

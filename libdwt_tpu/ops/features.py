@@ -1,0 +1,194 @@
+"""Per-subband feature extraction and denoising thresholds.
+
+TPU-native analogue of the reference's feature layer:
+  * 11 per-band aggregates dwt_util_band_*_s
+    (/root/reference/src/libdwt.c:23086-23480)
+  * whole-transform vector forms dwt_util_{wps,maxidx,...}_s iterating
+    HL, LH, HH per level j = 1..j_max-1 (/root/reference/src/libdwt.c:23486-...)
+  * the BayesShrink-style universal threshold
+    (/root/reference/src/denoise.c:30-78)
+
+The C loops become jnp reductions; everything works on the packed-layout
+2-D transform via utils.subband.band_view, batched and jit-able.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from libdwt_tpu.utils.subband import band_rect, band_view
+
+__all__ = [
+    "band_wps",
+    "band_med",
+    "band_maxidx",
+    "band_mean",
+    "band_moment",
+    "band_cmoment",
+    "band_var",
+    "band_stdev",
+    "band_smoment",
+    "band_skew",
+    "band_kurt",
+    "band_maxnorm",
+    "band_lpnorm",
+    "band_norm",
+    "features",
+    "FEATURES",
+    "estimate_threshold",
+    "soft_threshold",
+    "hard_threshold",
+    "denoise2",
+]
+
+
+# ----------------------------------------------------------- band features
+
+
+def band_wps(a, j: int = 0):
+    """Rectified wavelet power spectrum: sum(c^2) / 2^j
+    (/root/reference/src/libdwt.c:23086-23113)."""
+    return jnp.sum(a * a, axis=(-2, -1)) / (1 << j)
+
+
+def band_med(a):
+    """Median, reference convention sorted[size//2]
+    (/root/reference/src/libdwt.c:23128-23165)."""
+    flat = a.reshape(a.shape[:-2] + (-1,))
+    srt = jnp.sort(flat, axis=-1)
+    return srt[..., flat.shape[-1] // 2]
+
+
+def band_maxidx(a):
+    """Raster index of the max magnitude (/root/reference/src/libdwt.c:23269)."""
+    flat = jnp.abs(a).reshape(a.shape[:-2] + (-1,))
+    return jnp.argmax(flat, axis=-1).astype(a.dtype)
+
+
+def band_mean(a):
+    return jnp.mean(a, axis=(-2, -1))
+
+
+def band_moment(a, n: int, center=0.0):
+    """n-th moment about ``center`` (/root/reference/src/libdwt.c:23321)."""
+    return jnp.mean((a - center) ** n, axis=(-2, -1))
+
+
+def band_cmoment(a, n: int):
+    return band_moment(a, n, band_mean(a)[..., None, None])
+
+
+def band_var(a):
+    return band_cmoment(a, 2)
+
+
+def band_stdev(a):
+    return jnp.sqrt(band_var(a))
+
+
+def band_smoment(a, n: int):
+    return band_cmoment(a, n) / band_stdev(a) ** n
+
+
+def band_skew(a):
+    return band_smoment(a, 3)
+
+
+def band_kurt(a):
+    """Excess kurtosis (/root/reference/src/libdwt.c:23412-23421)."""
+    return band_smoment(a, 4) - 3.0
+
+
+def band_maxnorm(a):
+    return jnp.max(jnp.abs(a), axis=(-2, -1))
+
+
+def band_lpnorm(a, p: float):
+    """Reference's lp norm — NOTE: sum(|c|^p)^(1/p) without dividing,
+    and p=inf -> maxnorm (/root/reference/src/libdwt.c:23445-23468)."""
+    if math.isinf(p):
+        return band_maxnorm(a)
+    s = jnp.sum(jnp.abs(a) ** p, axis=(-2, -1))
+    return s ** (1.0 / p)
+
+
+def band_norm(a):
+    return band_lpnorm(a, 2.0)
+
+
+#: name -> callable(band_array) for the vector forms
+FEATURES: Dict[str, Callable] = {
+    "wps": band_wps,  # note: called with j via features()
+    "maxidx": band_maxidx,
+    "mean": band_mean,
+    "med": band_med,
+    "var": band_var,
+    "stdev": band_stdev,
+    "skew": band_skew,
+    "kurt": band_kurt,
+    "maxnorm": band_maxnorm,
+    "lpnorm": lambda a: band_lpnorm(a, 0.5),
+    "norm": band_norm,
+}
+
+
+def features(a, j_max: int, which: str = "wps"):
+    """Whole-transform feature vector over detail subbands.
+
+    Iterates j = 1 .. j_max-1 over (HL, LH, HH), skipping empty bands —
+    exactly the reference's vector forms (e.g. dwt_util_mean_s,
+    /root/reference/src/libdwt.c:23515-23548).  ``a`` is a packed-layout
+    transform (2-D, optionally batched).
+    """
+    fn = FEATURES[which]
+    out: List[jax.Array] = []
+    h, w = a.shape[-2], a.shape[-1]
+    for j in range(1, j_max):
+        for band in ("HL", "LH", "HH"):
+            ry, rx = band_rect(h, w, j, band)
+            if ry.stop - ry.start and rx.stop - rx.start:
+                v = a[..., ry, rx]
+                out.append(fn(v, j) if which == "wps" else fn(v))
+    return jnp.stack(out, axis=-1)
+
+
+# ---------------------------------------------------------------- denoise
+
+
+def estimate_threshold(a):
+    """Universal threshold from the level-1 HH band of a packed transform:
+    sigma = median(|HH1|)/0.6745, lambda = sigma*sqrt(2*log(N))
+    (/root/reference/src/denoise.c:30-78)."""
+    h, w = a.shape[-2], a.shape[-1]
+    hh = band_view(a, 1, "HH")
+    med = band_med(jnp.abs(hh))
+    sigma = med / 0.6745
+    return sigma * jnp.sqrt(2.0 * jnp.log(jnp.asarray(float(h * w), a.dtype)))
+
+
+def soft_threshold(a, lam):
+    return jnp.sign(a) * jnp.maximum(jnp.abs(a) - lam, 0)
+
+
+def hard_threshold(a, lam):
+    return jnp.where(jnp.abs(a) > lam, a, 0)
+
+
+def denoise2(x, wavelet="cdf97", level: Optional[int] = None, mode: str = "soft",
+             impl: Optional[str] = None):
+    """Denoise a 2-D image: transform, threshold detail bands with the
+    universal threshold, inverse transform (examples/spectra-blobs path)."""
+    from libdwt_tpu.api import wavedec2, waverec2
+    from libdwt_tpu.ops.separable import fdwt2
+
+    coeffs = wavedec2(x, wavelet, level, impl=impl)
+    packed = fdwt2(x, wavelet, 1)
+    lam = estimate_threshold(packed)
+    thr = soft_threshold if mode == "soft" else hard_threshold
+    shrunk = [coeffs[0]] + [
+        tuple(thr(b, lam) for b in lvl) for lvl in coeffs[1:]
+    ]
+    return waverec2(shrunk, wavelet, impl=impl)

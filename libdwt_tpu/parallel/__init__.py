@@ -1,0 +1,19 @@
+"""Multi-chip parallelism: meshes, sharded transforms, halo exchange."""
+
+from libdwt_tpu.parallel.sharded import (
+    HALO,
+    make_mesh_2d,
+    sharded_dwt2_level,
+    sharded_idwt2_level,
+    sharded_wavedec2,
+    sharded_waverec2,
+)
+
+__all__ = [
+    "HALO",
+    "make_mesh_2d",
+    "sharded_dwt2_level",
+    "sharded_idwt2_level",
+    "sharded_wavedec2",
+    "sharded_waverec2",
+]
