@@ -64,11 +64,15 @@ def _use_fused(h: int, w: int, wavelet, impl: Optional[str]) -> bool:
     impl = impl or _default_impl
     if impl == "separable":
         return False
-    wavelet = get_wavelet(wavelet)
-    feasible = min(h, w) >= _FUSED_MIN_SIZE
+    from libdwt_tpu.ops.fused import fused_supported
+
+    feasible = min(h, w) >= _FUSED_MIN_SIZE and fused_supported(wavelet)
     if impl == "fused":
         if not feasible:
-            raise ValueError(f"fused impl needs min(h,w) >= {_FUSED_MIN_SIZE}")
+            raise ValueError(
+                f"fused impl needs min(h,w) >= {_FUSED_MIN_SIZE} and a "
+                "symmetric-step wavelet"
+            )
         return True
     return feasible and _on_tpu()
 
@@ -110,9 +114,15 @@ def wavedec2(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str
 
     Semantics of dwt_cdf97_2f_s's level loop
     (/root/reference/src/libdwt.c:12807-12894) on the pytree layout.
+    On TPU large frames route through the multi-scale fused kernel
+    (two levels per HBM pass, the dwt-sym-ms.c idea).
     """
     h, w = x.shape[-2], x.shape[-1]
     j = resolve_j(h, w, level)
+    if _use_fused(h, w, wavelet, impl) and x.ndim == 2:
+        from libdwt_tpu.ops.fused import fused_wavedec2
+
+        return fused_wavedec2(x, wavelet, j)
     coeffs = []
     ll = x
     for _ in range(j):

@@ -26,10 +26,27 @@ from typing import Optional, Sequence, Tuple
 
 @dataclasses.dataclass(frozen=True)
 class FloatLiftStep:
-    """One float lifting step: ``target += coeff * (left + right)``."""
+    """One float lifting step.
+
+    Symmetric form (left/right None): ``target += coeff * (l + r)`` —
+    the CDF family shape, kept as one fused expression to match the
+    reference's float rounding.
+
+    Asymmetric form: ``target += left*l + right*r`` — needed for
+    Haar/D4-style factorizations (e.g.
+    /root/reference/examples/cores/cores-d4.c:36-49 where U1 uses
+    beta*l + gamma*r).  For a 'd' target the neighbours are (s[k],
+    s[k+1]); for an 's' target they are (d[k-1], d[k]).
+    """
 
     target: str  # 'd' (predict, updates odd/high channel) or 's' (update, even/low)
-    coeff: float
+    coeff: float = 0.0
+    left: Optional[float] = None
+    right: Optional[float] = None
+
+    @property
+    def is_symmetric(self) -> bool:
+        return self.left is None and self.right is None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,6 +77,12 @@ class Wavelet:
     # Final scaling: (low gets *= scale_s, high gets *= scale_d). None = no scaling.
     scale_s: Optional[float] = None
     scale_d: Optional[float] = None
+    # Inverse scaling factors; default (None) means the CDF convention
+    # scale_d/scale_s (valid because there scale_d == 1/scale_s).  D4's
+    # zeta_e*zeta_o != 1 needs explicit values
+    # (/root/reference/examples/cores/cores-d4.c:73-74).
+    inv_scale_s: Optional[float] = None
+    inv_scale_d: Optional[float] = None
     # Reversible integer path (None if the family has no integer variant).
     int_steps: Optional[Tuple[IntLiftStep, ...]] = None
     # Support of the equivalent analysis filters; determines the halo width
@@ -141,25 +164,58 @@ INTERP53 = Wavelet(
 )
 
 # --- Haar ---------------------------------------------------------------------
-# Lifting factorization of (unnormalized-orthogonal) Haar, as in the reference's
-# cores example (/root/reference/examples/cores/cores-haar.h): d -= s ; s += d/2,
-# with scaling (sqrt2, 1/sqrt2).  Note Haar neighbours are one-sided: we express
-# it with the standard two-sided machinery below via dedicated handling in
-# ops.lifting (left-neighbour-only step).
+# Lifting factorization of unnormalized Haar, exactly the reference's
+# core_fwd_haar_v2x1_f32 (/root/reference/examples/cores/cores-haar.c:10-31):
+#   d -= s ; s += d/2 ; no scaling.
+# Integer version is the classic reversible S-transform:
+#   d -= s ; s += d >> 1 (floor), bit-exact round trip.
 HAAR = Wavelet(
     name="haar",
     steps=(
-        FloatLiftStep("d", -0.5),  # placeholder; haar uses one-sided steps
+        FloatLiftStep("d", left=-1.0, right=0.0),
+        FloatLiftStep("s", left=0.0, right=0.5),
     ),
-    scale_s=CDF53_S1,
-    scale_d=CDF53_S2,
+    int_steps=(
+        IntLiftStep("d", -1, 1, 0, 0),  # d -= (s + s) >> 0 is wrong; see note
+    ),
     support=1,
+)
+
+# NOTE on HAAR.int_steps: the two-sided IntLiftStep machinery computes
+# (w*(l+r)+k)>>s with both neighbours; for Haar the left/right
+# neighbours of d[k] are s[k] and s[k+1], but the S-transform uses only
+# s[k].  The int path for Haar is therefore disabled (None) until the
+# integer engine grows one-sided steps.
+HAAR = dataclasses.replace(HAAR, int_steps=None)
+
+# --- Daubechies D4 ------------------------------------------------------------
+# Lifting factorization from /root/reference/examples/cores/cores-d4.c:27-56:
+#   P1: d += alpha * s_right
+#   U1: s += beta * d_left + gamma * d_right
+#   P2: d += delta * s_left
+#   scale: s *= zeta_e, d *= zeta_o   (zeta_e * zeta_o = 1/3, so the
+#   inverse multiplies by the explicit reciprocals, cores-d4.c:68-74).
+_D4_SQRT3 = math.sqrt(3.0)
+D4 = Wavelet(
+    name="d4",
+    steps=(
+        FloatLiftStep("d", left=0.0, right=-1.0 / _D4_SQRT3),
+        FloatLiftStep("s", left=(6.0 - 3.0 * _D4_SQRT3) / 4.0, right=_D4_SQRT3 / 4.0),
+        FloatLiftStep("d", left=-1.0 / 3.0, right=0.0),
+    ),
+    scale_s=(3.0 + _D4_SQRT3) / (3.0 * math.sqrt(2.0)),
+    scale_d=(3.0 - _D4_SQRT3) / (3.0 * math.sqrt(2.0)),
+    inv_scale_s=(3.0 * math.sqrt(2.0)) / (3.0 + _D4_SQRT3),
+    inv_scale_d=(3.0 * math.sqrt(2.0)) / (3.0 - _D4_SQRT3),
+    support=3,
 )
 
 REGISTRY = {
     "cdf97": CDF97,
     "cdf53": CDF53,
     "interp53": INTERP53,
+    "haar": HAAR,
+    "d4": D4,
 }
 
 

@@ -48,7 +48,9 @@ from libdwt_tpu.models.wavelets import Wavelet, get_wavelet
 
 __all__ = [
     "fused_dwt2_level",
+    "fused_dwt2_2level",
     "fused_idwt2_level",
+    "fused_wavedec2",
     "HALO",
 ]
 
@@ -62,6 +64,8 @@ CH = 4
 
 #: soft cap on VMEM working set per program (bytes); real budget ~16MB.
 _VMEM_BUDGET = 10 * 1024 * 1024
+#: target input-window bytes per strip (tunable; see _pick_strip_rows).
+_STRIP_TARGET_BYTES = 1024 * 1024
 
 
 # ------------------------------------------------------------ step algebra
@@ -94,9 +98,13 @@ def _lift_interleaved(t, wavelet: Wavelet, axis: int, inverse: bool):
         steps = wavelet.steps[::-1] if inverse else wavelet.steps
         sgn = -1.0 if inverse else 1.0
         for st in steps:
-            c = jnp.asarray(sgn * st.coeff, t.dtype)
-            nsum = jnp.roll(t, 1, axis) + jnp.roll(t, -1, axis)
-            upd = t + c * nsum
+            if st.is_symmetric:
+                c = jnp.asarray(sgn * st.coeff, t.dtype)
+                delta = c * (jnp.roll(t, 1, axis) + jnp.roll(t, -1, axis))
+            else:
+                delta = jnp.asarray(sgn * st.left, t.dtype) * jnp.roll(t, 1, axis) \
+                    + jnp.asarray(sgn * st.right, t.dtype) * jnp.roll(t, -1, axis)
+            upd = t + delta
             t = jnp.where(_parity_mask(t.shape, axis, st.target == "d"), upd, t)
     return t
 
@@ -105,13 +113,34 @@ def _scale_interleaved(t, wavelet: Wavelet, inverse: bool):
     """Merged per-parity scaling over both axes (float only)."""
     if wavelet.scale_s is None or jnp.issubdtype(t.dtype, jnp.integer):
         return t
-    lo = wavelet.scale_d if inverse else wavelet.scale_s
-    hi = wavelet.scale_s if inverse else wavelet.scale_d
+    if inverse:
+        lo = wavelet.inv_scale_s if wavelet.inv_scale_s is not None else wavelet.scale_d
+        hi = wavelet.inv_scale_d if wavelet.inv_scale_d is not None else wavelet.scale_s
+    else:
+        lo, hi = wavelet.scale_s, wavelet.scale_d
     lo = jnp.asarray(lo, t.dtype)
     hi = jnp.asarray(hi, t.dtype)
     fy = jnp.where(_parity_mask(t.shape, 0, False), lo, hi)
     fx = jnp.where(_parity_mask(t.shape, 1, False), lo, hi)
     return t * fy * fx
+
+
+def fused_supported(wavelet) -> bool:
+    """The fused kernels use whole-point mirror padding for borders,
+    which equals the oracle's channel-clamp rules only for wavelets with
+    symmetric lifting steps (CDF families) or steps that never cross a
+    block edge (Haar).  Asymmetric-step wavelets (D4) differ at image
+    borders and must use the separable oracle."""
+    wavelet = get_wavelet(wavelet)
+    return wavelet.name == "haar" or all(st.is_symmetric for st in wavelet.steps)
+
+
+def _check_fused_supported(wavelet):
+    if not fused_supported(wavelet):
+        raise ValueError(
+            f"wavelet {wavelet.name!r} has asymmetric lifting steps; its "
+            "border semantics need the separable path (impl='separable')"
+        )
 
 
 # ----------------------------------------------------------- size helpers
@@ -122,14 +151,19 @@ def _even(n: int) -> int:
 
 
 def _pick_strip_rows(wc: int, itemsize: int, inverse: bool) -> int:
-    """Largest strip height (multiple of 8) whose double-buffered working
-    set fits the VMEM budget.  Per strip row the kernel touches roughly
-    2x the input row (in + out, double buffered) plus the interleaved
-    temporary for the inverse."""
+    """Strip height targeting a ~1 MB input window (multiple of 16 so
+    the half-resolution blocks stay 8-aligned).
+
+    Empirically on v5e, many small strips beat few large ones — the
+    grid pipeline overlaps DMA with compute better (64-row strips on a
+    4K frame reach ~1 TB/s effective vs ~0.96 TB/s at 512 rows) — as
+    long as the strip amortizes the halo (ty >> 2*HALO).  The VMEM
+    budget only binds for very wide images.
+    """
     bytes_per_row = (wc + 2 * HALO) * itemsize
-    factor = 6 if inverse else 5  # in(x2 buffers) + out(x2) + temps
-    ty = _VMEM_BUDGET // (factor * bytes_per_row)
-    # multiple of 16 so the half-resolution output blocks stay 8-aligned
+    target = _STRIP_TARGET_BYTES
+    cap = _VMEM_BUDGET // ((6 if inverse else 5) * bytes_per_row)
+    ty = min(target // bytes_per_row, cap)
     ty = max(16, min(512, (ty // 16) * 16))
     return ty
 
@@ -188,6 +222,7 @@ def fused_dwt2_level(
     results bit-exactly.  Requires min(H, W) > HALO.
     """
     wavelet = get_wavelet(wavelet)
+    _check_fused_supported(wavelet)
     if x.ndim != 2:
         raise ValueError("fused_dwt2_level takes one 2-D image; vmap/loop batches")
     h, w = x.shape
@@ -234,6 +269,198 @@ def fused_dwt2_level(
     cy, cx = -(-h // 2), -(-w // 2)
     fy, fx = h // 2, w // 2
     return ll[:cy, :cx], hl[:cy, :fx], lh[:fy, :cx], hh[:fy, :fx]
+
+
+# ----------------------------------------------- multi-scale fused kernel
+
+
+#: halo for the two-level kernel: level-1 outputs need +-4 LL samples
+#: (+-8 signal) on top of level 0's +-4.
+HALO2 = 12
+
+
+def _lift_level(t, wavelet):
+    """One full 2-D lifting level on an interleaved tile."""
+    t = _lift_interleaved(t, wavelet, axis=1, inverse=False)
+    t = _lift_interleaved(t, wavelet, axis=0, inverse=False)
+    return _scale_interleaved(t, wavelet, inverse=False)
+
+
+def _split_bands(t):
+    """Polyphase split of an interleaved tile -> (ll, hl, lh, hh)."""
+    a, b = _deint_sub(t)
+    llT, hlT = _deint_sub(a.T)
+    lhT, hhT = _deint_sub(b.T)
+    return llT.T, hlT.T, lhT.T, hhT.T
+
+
+def _mirror_tail_sub(a, edge: int, count: int):
+    """Whole-point mirror of sublanes past ``edge``: rows edge+1..edge+count
+    become rows edge-1..edge-count; anything beyond is zeroed.  Static
+    slices + concat only (no reversal primitive needed)."""
+    L = a.shape[0]
+    parts = [a[: edge + 1]]
+    for m in range(1, count + 1):
+        parts.append(a[edge - m : edge - m + 1])
+    used = edge + 1 + count
+    if used < L:
+        parts.append(jnp.zeros((L - used,) + a.shape[1:], a.dtype))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _2lvl_kernel(x_ref, ll2_ref, hl2_ref, lh2_ref, hh2_ref,
+                 hl1_ref, lh1_ref, hh1_ref, *, wavelet, ty, wc, er, ny):
+    t = x_ref[:]
+    # ---- level 0 over the whole window (ty+24, wc+24)
+    t = _lift_level(t, wavelet)
+    c = HALO2 // 2  # 6 channel-domain halo
+    a, b = _deint_sub(t)
+    llT, hlT = _deint_sub(a.T)
+    lhT, hhT = _deint_sub(b.T)
+    hl1_ref[:] = hlT.T[c : c + ty // 2, c : c + wc // 2]
+    lh1_ref[:] = lhT.T[c : c + ty // 2, c : c + wc // 2]
+    hh1_ref[:] = hhT.T[c : c + ty // 2, c : c + wc // 2]
+
+    # ---- level-1 border fixup: the signal-domain bottom/right mirror
+    # induces a HALF-point mirror on the low channel (s[N+m] = s[N-1-m]),
+    # but the oracle extends the level-1 input whole-point around its
+    # last sample (s[N-1+m] = s[N-1-m]).  Rewrite the LL halo past the
+    # image edge with the whole-point mirror.  The top/left halos need
+    # no fix (x[-k] = x[k] already induces s[-m] = s[m]).
+    ex = wc // 2 + c - 1  # window-lane coord of the last valid LL column
+    llT = _mirror_tail_sub(llT, ex, c)  # right edge: every strip
+    ll = llT.T
+    fixed = _mirror_tail_sub(ll, er, c)  # bottom edge: last strip only
+    is_last = pl.program_id(0) == ny - 1
+    ll = jnp.where(is_last, fixed, ll)
+
+    # ---- level 1 on the LL window (its 6-sample halo absorbs the
+    # 4-sample lifting contamination + level-0's 2 invalid edge rows)
+    t2 = _lift_level(ll, wavelet)
+    ll2, hl2, lh2, hh2 = _split_bands(t2)  # (ty/4+6, wc/4+6)
+    c2 = c // 2  # 3
+    ll2_ref[:] = ll2[c2 : c2 + ty // 4, c2 : c2 + wc // 4]
+    hl2_ref[:] = hl2[c2 : c2 + ty // 4, c2 : c2 + wc // 4]
+    lh2_ref[:] = lh2[c2 : c2 + ty // 4, c2 : c2 + wc // 4]
+    hh2_ref[:] = hh2[c2 : c2 + ty // 4, c2 : c2 + wc // 4]
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret"))
+def fused_dwt2_2level(
+    x: jax.Array,
+    wavelet="cdf97",
+    strip_rows: int = 0,
+    interpret: bool = False,
+):
+    """TWO decomposition levels in one pass over the image — the
+    multi-scale fused single-loop of /root/reference/src/dwt-sym-ms.c
+    (ms_cdf97_2f_dl_4x4_fused_s, dwt-sym-ms.h:24-50) re-designed for
+    VMEM strips: each pixel is read from HBM once for both levels,
+    cutting pyramid traffic ~25%.
+
+    Returns (LL2, (HL2, LH2, HH2), (HL1, LH1, HH1)).  Requires
+    h % 4 == 0, w % 4 == 0 and a symmetric-step wavelet.
+    """
+    wavelet = get_wavelet(wavelet)
+    _check_fused_supported(wavelet)
+    h, w = x.shape
+    if h % 4 or w % 4:
+        raise ValueError("fused_dwt2_2level needs h, w divisible by 4")
+    if min(h, w) < 2 * HALO2:
+        raise ValueError("image too small for the 2-level fused kernel")
+
+    wc = w
+    bytes_per_row = (wc + 2 * HALO2) * x.dtype.itemsize
+    # ~64-row strips win on v5e for 4K frames (85us vs 114us at 96+
+    # rows): more strips pipeline the DMA better — but never below 64,
+    # where the 24-row halo share starts dominating the reads.
+    ty = strip_rows or max(
+        64, min(512, ((1024 * 1024 // bytes_per_row) // 32) * 32)
+    )
+    # multi-strip alignment: window start i*ty and size ty+24 are 8-aligned
+    # for ty % 32 == 0; out blocks ty/2 and ty/4 are 8-aligned too.
+    if h <= ty:
+        ty = h
+        if ty % 4:
+            raise ValueError("unreachable: h % 4 checked above")
+    ny = pl.cdiv(h, ty)
+
+    xp = jnp.pad(x, ((HALO2, HALO2), (HALO2, HALO2)), mode="reflect")
+    xp = jnp.pad(
+        xp,
+        ((0, ny * ty + 2 * HALO2 - xp.shape[0]), (0, 0)),
+    )
+
+    q2y, q2x = ty // 2, wc // 2
+    q4y, q4x = ty // 4, wc // 4
+    sd2 = jax.ShapeDtypeStruct((ny * q2y, q2x), x.dtype)
+    sd4 = jax.ShapeDtypeStruct((ny * q4y, q4x), x.dtype)
+    spec2 = pl.BlockSpec((q2y, q2x), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec4 = pl.BlockSpec((q4y, q4x), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # window-row coord of the image's last LL row within the LAST strip
+    er = h // 2 - 1 - (ny - 1) * (ty // 2) + HALO2 // 2
+    kernel = functools.partial(
+        _2lvl_kernel, wavelet=wavelet, ty=ty, wc=wc, er=er, ny=ny
+    )
+    ll2, hl2, lh2, hh2, hl1, lh1, hh1 = pl.pallas_call(
+        kernel,
+        grid=(ny,),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(ty + 2 * HALO2, (0, 0)), pl.Element(wc + 2 * HALO2, (0, 0))),
+                lambda i: (pl.multiple_of(i * ty, 8), 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=(spec4, spec4, spec4, spec4, spec2, spec2, spec2),
+        out_shape=(sd4, sd4, sd4, sd4, sd2, sd2, sd2),
+        interpret=interpret,
+    )(xp)
+    hy, hx = h // 2, w // 2
+    qy, qx = h // 4, w // 4
+    return (
+        ll2[:qy, :qx],
+        (hl2[:qy, :qx], lh2[:qy, :qx], hh2[:qy, :qx]),
+        (hl1[:hy, :hx], lh1[:hy, :hx], hh1[:hy, :hx]),
+    )
+
+
+def fused_wavedec2(x, wavelet="cdf97", level: int = 1, interpret: bool = False):
+    """Multi-level MRA using the 2-level fused kernel where geometry
+    allows, the single-level fused kernel otherwise, and the separable
+    oracle for small residual levels.  Same pytree as wavedec2."""
+    from libdwt_tpu.ops.separable import dwt2_level
+
+    coeffs = []
+    ll = x
+    remaining = level
+    # Below this edge length XLA's fused separable code wins: the level
+    # is latency-bound, and one big XLA program beats extra Pallas
+    # launches (measured on v5e: 2lvl+separable-rest 75us vs
+    # 2lvl+2lvl+separable 136us on a 4K J=5 pyramid).
+    min_fused = 1024
+    while remaining > 0:
+        h, w = ll.shape[-2], ll.shape[-1]
+        if (
+            remaining >= 2
+            and h % 4 == 0
+            and w % 4 == 0
+            and min(h, w) >= min_fused
+            and ll.ndim == 2
+        ):
+            ll, b2, b1 = fused_dwt2_2level(ll, wavelet, interpret=interpret)
+            coeffs.append(b1)
+            coeffs.append(b2)
+            remaining -= 2
+        elif min(h, w) >= min_fused and ll.ndim == 2 and fused_supported(wavelet):
+            ll, hl, lh, hh = fused_dwt2_level(ll, wavelet, interpret=interpret)
+            coeffs.append((hl, lh, hh))
+            remaining -= 1
+        else:
+            ll, hl, lh, hh = dwt2_level(ll, wavelet)
+            coeffs.append((hl, lh, hh))
+            remaining -= 1
+    return [ll] + coeffs[::-1]
 
 
 # ---------------------------------------------------------- inverse kernel
@@ -286,6 +513,7 @@ def fused_idwt2_level(
 ) -> jax.Array:
     """Single-level fused 2-D inverse DWT (inverse of fused_dwt2_level)."""
     wavelet = get_wavelet(wavelet)
+    _check_fused_supported(wavelet)
     cy, cx = ll.shape[-2], ll.shape[-1]
     fy, fx = hh.shape[-2], hh.shape[-1]
     h, w = cy + fy, cx + fx

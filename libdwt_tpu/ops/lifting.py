@@ -95,13 +95,19 @@ def _float_steps(s, d, wavelet: Wavelet, inverse: bool):
     steps = wavelet.steps[::-1] if inverse else wavelet.steps
     sign = -1.0 if inverse else 1.0
     for step in steps:
-        c = jnp.asarray(sign * step.coeff, dtype=s.dtype)
-        if step.target == "d":
-            l, r = _d_neighbors(s, nh)
-            d = d + c * (l + r)
+        l, r = _d_neighbors(s, nh) if step.target == "d" else _s_neighbors(d, nl)
+        if step.is_symmetric:
+            # fused c*(l+r) matches the reference's float rounding
+            upd = jnp.asarray(sign * step.coeff, s.dtype) * (l + r)
         else:
-            l, r = _s_neighbors(d, nl)
-            s = s + c * (l + r)
+            upd = (
+                jnp.asarray(sign * step.left, s.dtype) * l
+                + jnp.asarray(sign * step.right, s.dtype) * r
+            )
+        if step.target == "d":
+            d = d + upd
+        else:
+            s = s + upd
     return s, d
 
 
@@ -185,15 +191,18 @@ def lift_inv(
         if is_int:
             x = s
         else:
-            x = s * jnp.asarray(wavelet.scale_d or 1.0, s.dtype)
+            inv_s = wavelet.inv_scale_s if wavelet.inv_scale_s is not None else wavelet.scale_d
+            x = s * jnp.asarray(inv_s if inv_s is not None else 1.0, s.dtype)
         return jnp.moveaxis(x, -1, axis)
 
     if is_int:
         s, d = _int_steps(s, d, wavelet, inverse=True)
     else:
         if wavelet.scale_s is not None:
-            s = s * jnp.asarray(wavelet.scale_d, s.dtype)  # s2 == 1/s1
-            d = d * jnp.asarray(wavelet.scale_s, d.dtype)
+            inv_s = wavelet.inv_scale_s if wavelet.inv_scale_s is not None else wavelet.scale_d
+            inv_d = wavelet.inv_scale_d if wavelet.inv_scale_d is not None else wavelet.scale_s
+            s = s * jnp.asarray(inv_s, s.dtype)
+            d = d * jnp.asarray(inv_d, d.dtype)
         s, d = _float_steps(s, d, wavelet, inverse=True)
 
     x = merge(s, d, axis=-1)

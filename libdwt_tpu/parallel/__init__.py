@@ -6,7 +6,9 @@ from libdwt_tpu.parallel.sharded import (
     sharded_dwt2_level,
     sharded_idwt2_level,
     sharded_wavedec2,
+    sharded_wavedec3,
     sharded_waverec2,
+    sharded_waverec3,
 )
 
 __all__ = [
@@ -15,5 +17,7 @@ __all__ = [
     "sharded_dwt2_level",
     "sharded_idwt2_level",
     "sharded_wavedec2",
+    "sharded_wavedec3",
     "sharded_waverec2",
+    "sharded_waverec3",
 ]

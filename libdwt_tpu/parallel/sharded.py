@@ -37,6 +37,8 @@ __all__ = [
     "sharded_waverec2",
     "sharded_dwt2_level",
     "sharded_idwt2_level",
+    "sharded_wavedec3",
+    "sharded_waverec3",
     "make_mesh_2d",
 ]
 
@@ -228,6 +230,113 @@ def sharded_waverec2(
         for hl, lh, hh in cs[1:]:
             ll = _level_inv_local(ll, hl, lh, hh, wavelet, space_axis)
         return ll
+
+    return jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(in_specs,), out_specs=spec
+    )(coeffs)
+
+
+def sharded_wavedec3(
+    x: jax.Array,
+    wavelet="cdf97",
+    level: int = 1,
+    *,
+    mesh: Mesh,
+    space_axis: str = "space",
+    data_axis: Optional[str] = "data",
+):
+    """Multi-level 3-D MRA sharded over the z (depth) axis.
+
+    Input (..., Z, Y, X) with Z sharded over ``space_axis`` and leading
+    batch axes over ``data_axis``.  The x/y passes are local; the z-pass
+    lifting dependency crosses shard boundaries and is resolved with the
+    same 4-sample ppermute halo exchange as the 2-D path — the
+    multi-host decomposition absent from the reference's 3-D transforms
+    (/root/reference/src/volume-dwt.c).  Returns the wavedec3 pytree:
+    [LLL_J, bands_J, ..., bands_1] with 7-band dicts.
+    """
+    wavelet = get_wavelet(wavelet)
+    n_space = mesh.shape[space_axis]
+    _check_sharded_sizes(x.shape[-3], n_space, level)
+
+    nbatch = x.ndim - 3
+    batch_spec = (data_axis,) + (None,) * (nbatch - 1) if nbatch else ()
+    spec = P(*batch_spec, space_axis, None, None)
+
+    def local_fn(xl):
+        coeffs = []
+        low = xl
+        for _ in range(level):
+            bands = {"": low}
+            for axis in (-1, -2):  # x then y: local lifting
+                new = {}
+                for name, arr in bands.items():
+                    lo, hi = lift_fwd(arr, wavelet, axis=axis)
+                    new["L" + name] = lo
+                    new["H" + name] = hi
+                bands = new
+            # z pass with halo exchange: move z to -2 (rows)
+            new = {}
+            for name, arr in bands.items():
+                arr2 = jnp.moveaxis(arr, -3, -2)
+                lo, hi = _col_fwd(arr2, wavelet, space_axis)
+                new["L" + name] = jnp.moveaxis(lo, -2, -3)
+                new["H" + name] = jnp.moveaxis(hi, -2, -3)
+            bands = new
+            low = bands.pop("LLL")
+            coeffs.append(bands)
+        return [low] + coeffs[::-1]
+
+    band_spec = {k: spec for k in
+                 ("LLH", "LHL", "LHH", "HLL", "HLH", "HHL", "HHH")}
+    out_specs = [spec] + [band_spec] * level
+    return jax.shard_map(local_fn, mesh=mesh, in_specs=spec, out_specs=out_specs)(x)
+
+
+def sharded_waverec3(
+    coeffs,
+    wavelet="cdf97",
+    *,
+    mesh: Mesh,
+    space_axis: str = "space",
+    data_axis: Optional[str] = "data",
+):
+    """Inverse of :func:`sharded_wavedec3`."""
+    wavelet = get_wavelet(wavelet)
+    level = len(coeffs) - 1
+    low = coeffs[0]
+    nbatch = low.ndim - 3
+    batch_spec = (data_axis,) + (None,) * (nbatch - 1) if nbatch else ()
+    spec = P(*batch_spec, space_axis, None, None)
+    band_spec = {k: spec for k in
+                 ("LLH", "LHL", "LHH", "HLL", "HLH", "HHL", "HHH")}
+    in_specs = [spec] + [band_spec] * level
+
+    def local_fn(cs):
+        low = cs[0]
+        for bands in cs[1:]:
+            full = dict(bands)
+            full["LLL"] = low
+            # inverse z pass with channel halo exchange
+            names = sorted({n[1:] for n in full})
+            new = {}
+            for name in names:
+                lo = jnp.moveaxis(full["L" + name], -3, -2)
+                hi = jnp.moveaxis(full["H" + name], -3, -2)
+                rec = _col_inv(lo, hi, wavelet, space_axis)
+                new[name] = jnp.moveaxis(rec, -2, -3)
+            full = new
+            # local inverse y then x
+            for axis in (-2, -1):
+                names = sorted({n[1:] for n in full})
+                new = {}
+                for name in names:
+                    new[name] = lift_inv(
+                        full["L" + name], full["H" + name], wavelet, axis=axis
+                    )
+                full = new
+            low = full[""]
+        return low
 
     return jax.shard_map(
         local_fn, mesh=mesh, in_specs=(in_specs,), out_specs=spec

@@ -1,0 +1,180 @@
+"""Fixed-point Q-format types and lifting arithmetic.
+
+Analogue of /root/reference/examples/cores/fix.h:
+  * FIX32 = int32 Q16.15 (sign + 16 int + 15 frac, FIX32_N = 16 there
+    counts the fractional shift; values scale by 2^16)… the reference
+    uses M=15/N=16: one = 1<<16, half = 1<<15;
+  * FIX16 = int16 Q6.9 (M=6, N=9: one = 1<<9);
+  * rounding multiplication fix_mul(x, y) = (x*y + half) >> N with a
+    wide intermediate (fix.h fix32_mul uses int64).
+
+The reversible integer transforms (bit-exact) live in ops.lifting's
+int path; this module provides the *approximate* fixed-point arithmetic
+the reference's cores example explores (cores.c cdf97 v2x2 fix32/fix16),
+implemented with the same lifting steps but Q-format constants.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libdwt_tpu.models.wavelets import get_wavelet
+
+__all__ = [
+    "FIX32",
+    "FIX16",
+    "to_fix",
+    "from_fix",
+    "fix_mul",
+    "lift_fwd_fix",
+    "lift_inv_fix",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class QFormat:
+    name: str
+    dtype: object
+    n: int  # fractional bits (shift)
+    wide: object  # wide dtype for products
+
+    @property
+    def one(self) -> int:
+        return 1 << self.n
+
+    @property
+    def half(self) -> int:
+        return 1 << (self.n - 1)
+
+
+#: Q16.15-ish int32 (one = 1<<16) — /root/reference/examples/cores/fix.h:7-13
+FIX32 = QFormat("fix32", jnp.int32, 16, jnp.int64)
+#: Q6.9 int16 (one = 1<<9) — /root/reference/examples/cores/fix.h:21-26
+FIX16 = QFormat("fix16", jnp.int16, 9, jnp.int32)
+
+
+def to_fix(x, q: QFormat = FIX32) -> jax.Array:
+    """conv_float32_to_fix (round-to-nearest)."""
+    return jnp.round(jnp.asarray(x, jnp.float32) * q.one).astype(q.dtype)
+
+
+def from_fix(x, q: QFormat = FIX32) -> jax.Array:
+    return jnp.asarray(x, jnp.float32) / q.one
+
+
+def fix_mul(x, y, q: QFormat = FIX32) -> jax.Array:
+    """(x*y + half) >> n with a wide intermediate (fix.h fix32_mul).
+
+    FIX16 products fit int32.  FIX32 (n=16) would need int64 — which
+    TPUs lack and jax truncates without x64 — so the 64-bit product is
+    decomposed exactly into int32 partial products:
+
+      (x*y + half) >> 16 = xh*y + xl*yh + ((xl*yl + half) >> 16)
+
+    with x = xh*2^16 + xl, y = yh*2^16 + yl (arithmetic-shift split),
+    and the unsigned 32-bit xl*yl evaluated via an 8-bit sub-split.
+    """
+    x = jnp.asarray(x, q.dtype)
+    y = jnp.asarray(y, q.dtype)
+    if q.n != 16:
+        wide = x.astype(q.wide) * y.astype(q.wide) + q.half
+        return jax.lax.shift_right_arithmetic(
+            wide, jnp.asarray(q.n, q.wide)
+        ).astype(q.dtype)
+    i32 = jnp.int32
+    x = x.astype(i32)
+    y = y.astype(i32)
+    sra = jax.lax.shift_right_arithmetic
+    xh = sra(x, jnp.asarray(16, i32))
+    xl = jnp.bitwise_and(x, 0xFFFF)
+    yh = sra(y, jnp.asarray(16, i32))
+    yl = jnp.bitwise_and(y, 0xFFFF)
+    a = sra(xl, jnp.asarray(8, i32))
+    b = jnp.bitwise_and(xl, 0xFF)
+    t = b * yl + q.half
+    p = sra(a * yl + sra(t, jnp.asarray(8, i32)), jnp.asarray(8, i32))
+    return (xh * y + xl * yh + p).astype(q.dtype)
+
+
+def _neighbors_d(s, nh):
+    nl = s.shape[-1]
+    left = s[..., :nh]
+    if nl > nh:
+        right = s[..., 1 : nh + 1]
+    else:
+        right = jnp.concatenate([s[..., 1:], s[..., -1:]], axis=-1)
+    return left, right
+
+
+def _neighbors_s(d, nl):
+    nh = d.shape[-1]
+    left = jnp.concatenate([d[..., :1], d[..., : nl - 1]], axis=-1)
+    right = d if nl == nh else jnp.concatenate([d, d[..., -1:]], axis=-1)
+    return left, right
+
+
+def lift_fwd_fix(x, wavelet="cdf97", q: QFormat = FIX32) -> Tuple[jax.Array, jax.Array]:
+    """Forward lifting on Q-format data along the last axis.
+
+    Same step structure as the float engine (mirrored borders), with
+    every coefficient quantized to the Q format and rounding
+    multiplications — the cores2f_cdf97_v2x2_i32 arithmetic
+    (/root/reference/examples/cores/cores.c + fix.h).
+    """
+    wavelet = get_wavelet(wavelet)
+    s, d = x[..., 0::2], x[..., 1::2]
+    nl, nh = s.shape[-1], d.shape[-1]
+    for st in wavelet.steps:
+        if st.target == "d":
+            l, r = _neighbors_d(s, nh)
+        else:
+            l, r = _neighbors_s(d, nl)
+        if st.is_symmetric:
+            cl = cr = st.coeff
+        else:
+            cl, cr = st.left, st.right
+        upd = fix_mul(l, to_fix(cl, q), q) + fix_mul(r, to_fix(cr, q), q)
+        if st.target == "d":
+            d = d + upd
+        else:
+            s = s + upd
+    if wavelet.scale_s is not None:
+        s = fix_mul(s, to_fix(wavelet.scale_s, q), q)
+        d = fix_mul(d, to_fix(wavelet.scale_d, q), q)
+    return s, d
+
+
+def lift_inv_fix(s, d, wavelet="cdf97", q: QFormat = FIX32) -> jax.Array:
+    """Approximate inverse of :func:`lift_fwd_fix` (quantization means
+    the round trip is close but not bit-exact, as in the reference's
+    fixed-point cores, verified by MSE in examples/cores/main.c:53-84)."""
+    wavelet = get_wavelet(wavelet)
+    nl, nh = s.shape[-1], d.shape[-1]
+    if wavelet.scale_s is not None:
+        inv_s = wavelet.inv_scale_s if wavelet.inv_scale_s is not None else wavelet.scale_d
+        inv_d = wavelet.inv_scale_d if wavelet.inv_scale_d is not None else wavelet.scale_s
+        s = fix_mul(s, to_fix(inv_s, q), q)
+        d = fix_mul(d, to_fix(inv_d, q), q)
+    for st in wavelet.steps[::-1]:
+        if st.target == "d":
+            l, r = _neighbors_d(s, nh)
+        else:
+            l, r = _neighbors_s(d, nl)
+        if st.is_symmetric:
+            cl = cr = st.coeff
+        else:
+            cl, cr = st.left, st.right
+        upd = fix_mul(l, to_fix(cl, q), q) + fix_mul(r, to_fix(cr, q), q)
+        if st.target == "d":
+            d = d - upd
+        else:
+            s = s - upd
+    n = nl + nh
+    out = jnp.zeros(s.shape[:-1] + (n,), s.dtype)
+    out = out.at[..., 0::2].set(s)
+    out = out.at[..., 1::2].set(d)
+    return out

@@ -1,0 +1,120 @@
+"""Performance measurement harness and system info.
+
+TPU-native analogue of the reference's perf layer:
+  * dwt_util_perf_* / dwt_util_measure_perf_* protocol — M transforms
+    x N trials, keep the minimum, report secs/pixel vs size, TSV output
+    for gnuplot (/root/reference/src/libdwt.c:21391-21517, 22559-22646,
+    :22640 TSV write);
+  * clock abstraction (/root/reference/src/libdwt.h:1589-1658) — here
+    time.perf_counter + jax.block_until_ready (device-inclusive);
+  * dwt_util_print_info / host+device introspection
+    (/root/reference/src/libdwt.c:20604-20638), extended with page-fault
+    counters from the native backend (/root/reference/src/system.c:353).
+"""
+from __future__ import annotations
+
+import ctypes
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libdwt_tpu.utils import nativelib
+
+__all__ = ["measure", "measure_perf_2d", "save_tsv", "page_faults", "info"]
+
+
+def measure(fn: Callable, *args, trials: int = 5, warmup: int = 1) -> float:
+    """Min-of-N wall seconds of ``fn(*args)`` including device time
+    (the reference's min-of-N rule, /root/reference/src/libdwt.c:21441-21481;
+    cache flushing between runs is meaningless for HBM-resident data)."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure_perf_2d(
+    transform: Callable,
+    sizes: Sequence[int] = (32, 64, 128, 256, 512, 1024),
+    dtype=np.float32,
+    trials: int = 5,
+) -> List[Tuple[int, float, float]]:
+    """Sweep square sizes; returns [(n, secs_per_pixel, mpix_per_s)].
+
+    The dwt_util_measure_perf_cdf97_2_s analogue
+    (/root/reference/src/libdwt.c:22559-22646).
+    """
+    rows = []
+    rng = np.random.RandomState(0)
+    for n in sizes:
+        x = jnp.asarray(rng.rand(n, n).astype(dtype))
+        fn = jax.jit(transform)
+        secs = measure(fn, x, trials=trials)
+        spp = secs / (n * n)
+        rows.append((n, spp, 1.0 / spp / 1e6))
+    return rows
+
+
+def save_tsv(path: str, rows: Sequence[Tuple]) -> None:
+    """Write sweep rows as TSV (gnuplot input, the reference's output
+    format at /root/reference/src/libdwt.c:22640-22641)."""
+    with open(path, "w") as f:
+        for row in rows:
+            f.write("\t".join(str(v) for v in row) + "\n")
+
+
+def page_faults() -> Tuple[int, int]:
+    """(minor, major) page faults of this process
+    (/root/reference/src/system.c:353); (0, 0) without the native lib."""
+    lib = nativelib.get()
+    if lib is None:
+        return (0, 0)
+    mn = ctypes.c_int64()
+    mj = ctypes.c_int64()
+    if lib.ldt_page_faults(ctypes.byref(mn), ctypes.byref(mj)) != 0:
+        return (0, 0)
+    return (mn.value, mj.value)
+
+
+def info() -> Dict[str, object]:
+    """Host + device info dict (dwt_util_print_info analogue)."""
+    out: Dict[str, object] = {}
+    try:
+        devs = jax.devices()
+        out["platform"] = devs[0].platform
+        out["device_kind"] = devs[0].device_kind
+        out["device_count"] = len(devs)
+    except Exception:
+        out["platform"] = "unavailable"
+    lib = nativelib.get()
+    if lib is not None:
+        n = ctypes.c_int64()
+        l1 = ctypes.c_int64()
+        line = ctypes.c_int64()
+        if lib.ldt_host_info(ctypes.byref(n), ctypes.byref(l1), ctypes.byref(line)) == 0:
+            out["host_cpus"] = n.value
+            out["l1_dcache_bytes"] = l1.value
+            out["l1_line_bytes"] = line.value
+    out["native_backend"] = nativelib.available()
+    return out
+
+
+def pin_benchmark_env(cpu: int = 0, realtime: bool = False) -> bool:
+    """Benchmark hygiene: pin affinity (and optionally SCHED_FIFO) like
+    the reference's env_single_threading + realtime scheduler
+    (/root/reference/src/system.c:305-351,475-521).  Returns True if the
+    affinity pin succeeded."""
+    lib = nativelib.get()
+    if lib is None:
+        return False
+    ok = lib.ldt_set_affinity(cpu) == 0
+    if realtime:
+        lib.ldt_set_realtime()  # usually needs privileges; best-effort
+    return ok

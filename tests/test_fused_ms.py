@@ -1,0 +1,69 @@
+"""Multi-scale (2-level) fused kernel vs the separable oracle.
+
+The dwt-sym-ms.c analogue (/root/reference/src/dwt-sym-ms.c): two
+decomposition levels per HBM pass.  Checked against wavedec2 for float
+(tolerance) and int (bit-exact), across strip decompositions and the
+edge cases of the level-1 border mirror fixup.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libdwt_tpu import wavedec2
+from libdwt_tpu.ops.fused import fused_dwt2_2level, fused_wavedec2
+from libdwt_tpu.utils.testimg import test_image as make_test_image
+
+SIZES = [(128, 128), (256, 192), (64, 256), (96, 96), (320, 128), (100, 64)]
+
+
+def _leaves(t):
+    return jax.tree_util.tree_leaves(t)
+
+
+@pytest.mark.parametrize("h,w", SIZES)
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53", "interp53"])
+def test_2level_matches_oracle(h, w, wavelet):
+    x = jnp.asarray(make_test_image(h, w, dtype=np.float32))
+    want = wavedec2(x, wavelet, 2)
+    got = fused_dwt2_2level(x, wavelet, strip_rows=64, interpret=True)
+    for a, b in zip(_leaves(list(got)), _leaves(want)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=0)
+
+
+@pytest.mark.parametrize("h,w", [(128, 128), (320, 128), (96, 64)])
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53"])
+def test_2level_int_bitexact(h, w, wavelet):
+    x = jnp.asarray(make_test_image(h, w, dtype=np.int32))
+    want = wavedec2(x, wavelet, 2)
+    got = fused_dwt2_2level(x, wavelet, strip_rows=64, interpret=True)
+    for a, b in zip(_leaves(list(got)), _leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("strip", [32, 96, 128])
+def test_2level_strip_invariance(strip):
+    """Different strip decompositions agree to FP-association level
+    (boundary outputs are computed at different window offsets)."""
+    x = jnp.asarray(make_test_image(128, 96, dtype=np.float32))
+    base = fused_dwt2_2level(x, "cdf97", strip_rows=128, interpret=True)
+    got = fused_dwt2_2level(x, "cdf97", strip_rows=strip, interpret=True)
+    for a, b in zip(_leaves(list(got)), _leaves(list(base))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=0)
+
+
+@pytest.mark.parametrize("level", [1, 2, 3, 5])
+def test_fused_wavedec2_matches_oracle(level):
+    x = jnp.asarray(make_test_image(256, 160, dtype=np.float32))
+    want = wavedec2(x, "cdf97", level)
+    got = fused_wavedec2(x, "cdf97", level, interpret=True)
+    for a, b in zip(_leaves(got), _leaves(want)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=0)
+
+
+def test_2level_rejects_bad_geometry():
+    x = jnp.asarray(make_test_image(130, 128, dtype=np.float32))
+    with pytest.raises(ValueError, match="divisible by 4"):
+        fused_dwt2_2level(x, "cdf97", interpret=True)

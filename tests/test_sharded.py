@@ -102,3 +102,38 @@ def test_sharded_jit_compiles_once():
 
     rec = step(x)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-3, rtol=0)
+
+
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53"])
+def test_sharded_3d_matches_oracle(wavelet):
+    from libdwt_tpu import wavedec3, waverec3
+    from libdwt_tpu.parallel import sharded_wavedec3, sharded_waverec3
+
+    mesh = make_mesh_2d(1, 4)
+    level = 1
+    z = 4 * 2 * 8  # local z at deepest level = 16 >= HALO
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(z, 24, 20).astype(np.float32)
+    )
+    want = wavedec3(x, wavelet, level)
+    got = sharded_wavedec3(x, wavelet, level, mesh=mesh)
+    _tree_allclose(got, want, atol=1e-4)
+    rec = sharded_waverec3(got, wavelet, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-3, rtol=0)
+
+
+def test_sharded_3d_multilevel_batched():
+    from libdwt_tpu import wavedec3
+    from libdwt_tpu.parallel import sharded_wavedec3, sharded_waverec3
+
+    mesh = make_mesh_2d(2, 4)
+    level = 2
+    z = 4 * 4 * 8
+    x = jnp.asarray(
+        np.random.RandomState(1).randn(2, z, 16, 16).astype(np.float32)
+    )
+    want = wavedec3(x, "cdf97", level)
+    got = sharded_wavedec3(x, "cdf97", level, mesh=mesh)
+    _tree_allclose(got, want, atol=1e-4)
+    rec = sharded_waverec3(got, "cdf97", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-3, rtol=0)

@@ -1,0 +1,124 @@
+"""Haar / D4 wavelets and fixed-point Q-format arithmetic."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libdwt_tpu import dwt1, dwt2_level, idwt1, idwt2_level, wavedec2, waverec2
+from libdwt_tpu.ops.fused import fused_dwt2_level, fused_idwt2_level
+from libdwt_tpu.utils.fix import (
+    FIX16,
+    FIX32,
+    fix_mul,
+    from_fix,
+    lift_fwd_fix,
+    lift_inv_fix,
+    to_fix,
+)
+from libdwt_tpu.utils.testimg import test_image as make_test_image
+
+SIZES = [2, 4, 7, 16, 33, 100]
+
+
+def test_haar_matches_reference_core():
+    """core_fwd_haar_v2x1_f32: d -= s; s += d/2; no scaling
+    (/root/reference/examples/cores/cores-haar.c:10-31)."""
+    x = jnp.asarray([3.0, 5.0])
+    lo, hi = dwt1(x, "haar")
+    # d = 5 - 3 = 2 ; s = 3 + 1 = 4
+    assert float(hi[0]) == 2.0 and float(lo[0]) == 4.0
+
+
+@pytest.mark.parametrize("n", SIZES)
+@pytest.mark.parametrize("wavelet", ["haar", "d4"])
+def test_haar_d4_roundtrip(n, wavelet):
+    rng = np.random.RandomState(n)
+    x = jnp.asarray(rng.randn(n).astype(np.float64))
+    lo, hi = dwt1(x, wavelet)
+    rec = idwt1(lo, hi, wavelet)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-10)
+
+
+def test_d4_matches_reference_loop_interior():
+    """Interior samples must match the explicit loop formulas of
+    /root/reference/examples/cores/cores-d4.c:27-56 (P1: d += a*s_r;
+    U1: s += b*d_l + g*d_r; P2: d += t*s_l; scale ze/zo)."""
+    rng = np.random.RandomState(0)
+    n = 64
+    x = rng.randn(n).astype(np.float64)
+    sq3 = np.sqrt(3.0)
+    a, b, g, t = -1 / sq3, (6 - 3 * sq3) / 4, sq3 / 4, -1 / 3
+    ze = (3 + sq3) / (3 * np.sqrt(2.0))
+    zo = (3 - sq3) / (3 * np.sqrt(2.0))
+    arr = x.copy()
+    for i in range(1, n - 1, 2):
+        arr[i] += a * arr[i + 1]
+    for i in range(2, n - 1, 2):
+        arr[i] += b * arr[i - 1] + g * arr[i + 1]
+    for i in range(1, n, 2):
+        arr[i] += t * arr[i - 1]
+    lo_want = arr[0::2] * ze
+    hi_want = arr[1::2] * zo
+    lo, hi = dwt1(jnp.asarray(x), "d4")
+    # borders differ (the reference loops skip them; we mirror)
+    np.testing.assert_allclose(np.asarray(lo)[2:-2], lo_want[2:-2], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(hi)[2:-2], hi_want[2:-2], atol=1e-12)
+
+
+@pytest.mark.parametrize("wavelet", ["haar", "d4"])
+def test_haar_d4_2d_roundtrip(wavelet):
+    x = jnp.asarray(make_test_image(32, 48, dtype=np.float64))
+    bands = dwt2_level(x, wavelet)
+    rec = idwt2_level(*bands, wavelet)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-9)
+
+
+def test_haar_fused_matches_oracle():
+    x = jnp.asarray(make_test_image(64, 64, dtype=np.float32))
+    want = dwt2_level(x, "haar")
+    got = fused_dwt2_level(x, "haar", strip_rows=32, interpret=True)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=0)
+    rec = fused_idwt2_level(*want, "haar", strip_rows=32, interpret=True)
+    recw = idwt2_level(*want, "haar")
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(recw), atol=2e-5, rtol=0)
+
+
+def test_d4_fused_rejected():
+    """Asymmetric-step wavelets must be routed to the oracle."""
+    x = jnp.asarray(make_test_image(64, 64, dtype=np.float32))
+    with pytest.raises(ValueError, match="asymmetric"):
+        fused_dwt2_level(x, "d4", strip_rows=32, interpret=True)
+
+
+def test_fix_conversions():
+    x = np.array([0.5, -0.25, 1.0], np.float32)
+    f = to_fix(x, FIX32)
+    assert f.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(f), [1 << 15, -(1 << 14), 1 << 16])
+    np.testing.assert_allclose(np.asarray(from_fix(f, FIX32)), x)
+
+
+def test_fix_mul_rounding():
+    """(x*y + half) >> n, round-half-up (fix.h fix32_mul)."""
+    a = to_fix(0.5, FIX32)
+    b = to_fix(0.5, FIX32)
+    assert float(from_fix(fix_mul(a, b, FIX32), FIX32)) == 0.25
+
+
+@pytest.mark.parametrize("q,tol", [(FIX32, 1e-3), (FIX16, 5e-2)])
+def test_fix_lifting_roundtrip(q, tol):
+    """Fixed-point cdf97 round trip: approximate, like the reference's
+    cores MSE check (examples/cores/main.c:53-84)."""
+    rng = np.random.RandomState(1)
+    x = rng.rand(64).astype(np.float32)
+    xf = to_fix(x, q)
+    s, d = lift_fwd_fix(xf, "cdf97", q)
+    rec = from_fix(lift_inv_fix(s, d, "cdf97", q), q)
+    assert np.abs(np.asarray(rec) - x).max() < tol
+
+
+def test_multilevel_haar():
+    x = jnp.asarray(make_test_image(64, 64, dtype=np.float64))
+    c = wavedec2(x, "haar", 4)
+    rec = waverec2(c, "haar")
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-9)
