@@ -36,9 +36,12 @@ __all__ = [
 _IMPLS = ("auto", "fused", "separable")
 _default_impl = "auto"
 
-#: below this edge length the fused kernel's padding overhead and tiny
-#: strips are not worth it; the oracle is used instead.
+#: below this edge length the fused kernel cannot run at all.
 _FUSED_MIN_SIZE = 32
+#: below this edge length the 'auto' policy prefers the XLA separable
+#: path: small levels are launch-latency-bound and XLA's fused separable
+#: code wins (measured on v5e; see ops/fused.fused_wavedec2).
+_AUTO_MIN_SIZE = 1024
 
 
 def set_impl(impl: str) -> None:
@@ -74,7 +77,7 @@ def _use_fused(h: int, w: int, wavelet, impl: Optional[str]) -> bool:
                 "symmetric-step wavelet"
             )
         return True
-    return feasible and _on_tpu()
+    return feasible and min(h, w) >= _AUTO_MIN_SIZE and _on_tpu()
 
 
 def dwt2(x, wavelet="cdf97", impl: Optional[str] = None):

@@ -1,0 +1,50 @@
+"""API dispatch layer and autotuner."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import libdwt_tpu as dwt
+from libdwt_tpu import api
+from libdwt_tpu.autotune import autotune_dwt2, best_config, clear_cache
+from libdwt_tpu.utils.testimg import test_image as make_test_image
+
+
+def test_impl_global_setting():
+    assert api.get_impl() == "auto"
+    api.set_impl("separable")
+    assert api.get_impl() == "separable"
+    with pytest.raises(ValueError):
+        api.set_impl("nope")
+    api.set_impl("auto")
+
+
+def test_explicit_impls_agree():
+    x = jnp.asarray(make_test_image(64, 64, dtype=np.float32))
+    a = api.wavedec2(x, "cdf97", 3, impl="separable")
+    b = api.wavedec2(x, "cdf97", 3, impl="fused")
+    import jax
+
+    for u, v in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=3e-5, rtol=0)
+
+
+def test_fused_impl_rejects_small():
+    x = jnp.asarray(make_test_image(8, 8, dtype=np.float32))
+    with pytest.raises(ValueError):
+        api.dwt2(x, "cdf97", impl="fused")
+
+
+def test_roundtrip_through_api():
+    x = jnp.asarray(make_test_image(96, 80, dtype=np.float32))
+    c = api.wavedec2(x, "cdf53", 2)
+    r = api.waverec2(c, "cdf53")
+    np.testing.assert_allclose(np.asarray(r), np.asarray(x), atol=1e-3, rtol=0)
+
+
+def test_autotune_caches_winner():
+    clear_cache()
+    cfg = autotune_dwt2((64, 64), "cdf97", trials=1)
+    assert cfg["impl"] in ("separable", "fused")
+    assert best_config((64, 64), "cdf97") == cfg
+    # second call hits the cache (same object)
+    assert autotune_dwt2((64, 64), "cdf97", trials=1) is cfg

@@ -99,3 +99,56 @@ def test_2d_inverse_matches_reference(g, ny, nx, j):
     ref_rec = g[f"cdf97_2i_f32_{ny}x{nx}_j{j}"]
     got = np.asarray(idwt2(jnp.asarray(fwd), "cdf97", j))
     np.testing.assert_allclose(got, ref_rec, atol=5e-4, rtol=0)
+
+
+SIZES_EAW = [8, 15, 16, 17, 64, 100]
+
+
+@pytest.mark.parametrize("n", SIZES_EAW)
+def test_eaw97_forward_matches_reference(g, n):
+    """Weighted lifting vs the reference's dwt_eaw97_f_ex_stride_s
+    (/root/reference/src/eaw-experimental.c:73-187), alpha=0.8."""
+    from libdwt_tpu.ops.eaw import eaw_lift_fwd
+
+    key = f"eaw97_f32_{n}"
+    if f"{key}_L" not in g:
+        pytest.skip("combo not dumped")
+    x = jnp.asarray(g[f"eawx_f32_{n}"][0])
+    lo, hi, w = eaw_lift_fwd(x, "cdf97", alpha=0.8)
+    np.testing.assert_allclose(np.asarray(lo), g[f"{key}_L"][0], atol=3e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(hi), g[f"{key}_H"][0], atol=3e-5, rtol=0)
+    # weights: reference leaves w[N-1] unset ("not necessary"); ours
+    # patches it — compare the first N-1
+    np.testing.assert_allclose(
+        np.asarray(w)[: n - 1], g[f"{key}_W"][0][: n - 1], rtol=2e-5
+    )
+
+
+@pytest.mark.parametrize("n", SIZES_EAW)
+def test_eaw53_forward_matches_reference(g, n):
+    from libdwt_tpu.ops.eaw import eaw_lift_fwd
+
+    key = f"eaw53_f32_{n}"
+    if f"{key}_L" not in g:
+        pytest.skip("combo not dumped")
+    x = jnp.asarray(g[f"eawx_f32_{n}"][0])
+    lo, hi, _ = eaw_lift_fwd(x, "cdf53", alpha=0.8)
+    np.testing.assert_allclose(np.asarray(lo), g[f"{key}_L"][0], atol=3e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(hi), g[f"{key}_H"][0], atol=3e-5, rtol=0)
+
+
+@pytest.mark.parametrize("n", SIZES_EAW)
+@pytest.mark.parametrize("wavelet,tag", [("cdf97", "swt97"), ("cdf53", "swt53")])
+@pytest.mark.parametrize("level", [0, 1, 2])
+def test_swt_level_matches_reference(g, n, wavelet, tag, level):
+    """À-trous filtering vs swt_cdf97/53_f_ex_stride_s
+    (/root/reference/src/swt.c:18-124)."""
+    from libdwt_tpu.ops.swt import swt_level
+
+    key = f"{tag}_f32_{n}_l{level}"
+    if f"{key}_L" not in g:
+        pytest.skip("combo not dumped")
+    x = jnp.asarray(g[f"swtx_f32_{n}"][0])
+    lo, hi = swt_level(x, wavelet, level=level)
+    np.testing.assert_allclose(np.asarray(lo), g[f"{key}_L"][0], atol=2e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(hi), g[f"{key}_H"][0], atol=2e-5, rtol=0)

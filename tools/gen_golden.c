@@ -128,6 +128,75 @@ static void gen_1d_int(int N)
     free(src); free(tmp); free(lo); free(hi);
 }
 
+/* EAW 1-D entries exist in the reference but are not declared in the
+ * public header; declare them here (defined in libdwt.c and
+ * eaw-experimental.c). */
+extern void dwt_eaw53_f_ex_stride_s(const float *src, float *dst_l,
+    float *dst_h, float *tmp, int N, int stride, float *w, float alpha);
+extern void dwt_eaw97_f_ex_stride_s(const float *src, float *dst_l,
+    float *dst_h, float *tmp, int N, int stride, float *w, float alpha);
+#include "swt.h"
+
+static void gen_1d_eaw(int N)
+{
+    char name[128];
+    float *src = malloc(sizeof(float) * N);
+    float *tmp = malloc(sizeof(float) * (N + 16));
+    float *lo = malloc(sizeof(float) * N);
+    float *hi = malloc(sizeof(float) * N);
+    float *w = malloc(sizeof(float) * (N + 1));
+    int nl = (N + 1) / 2, nh = N / 2;
+    const float alpha = 0.8f;
+
+    reset_rand(5000 + N);
+    for (int i = 0; i < N; i++) src[i] = frand();
+    snprintf(name, sizeof name, "eawx_f32_%d", N);
+    dump(name, "f32", 1, N, src, 4);
+
+    dwt_eaw97_f_ex_stride_s(src, lo, hi, tmp, N, sizeof(float), w, alpha);
+    snprintf(name, sizeof name, "eaw97_f32_%d_L", N);
+    dump(name, "f32", 1, nl, lo, 4);
+    snprintf(name, sizeof name, "eaw97_f32_%d_H", N);
+    dump(name, "f32", 1, nh, hi, 4);
+    snprintf(name, sizeof name, "eaw97_f32_%d_W", N);
+    dump(name, "f32", 1, N, w, 4);
+
+    dwt_eaw53_f_ex_stride_s(src, lo, hi, tmp, N, sizeof(float), w, alpha);
+    snprintf(name, sizeof name, "eaw53_f32_%d_L", N);
+    dump(name, "f32", 1, nl, lo, 4);
+    snprintf(name, sizeof name, "eaw53_f32_%d_H", N);
+    dump(name, "f32", 1, nh, hi, 4);
+
+    free(src); free(tmp); free(lo); free(hi); free(w);
+}
+
+static void gen_1d_swt(int N)
+{
+    char name[128];
+    float *src = malloc(sizeof(float) * N);
+    float *lo = malloc(sizeof(float) * N);
+    float *hi = malloc(sizeof(float) * N);
+
+    reset_rand(6000 + N);
+    for (int i = 0; i < N; i++) src[i] = frand();
+    snprintf(name, sizeof name, "swtx_f32_%d", N);
+    dump(name, "f32", 1, N, src, 4);
+
+    for (int level = 0; level < 3; level++) {
+        swt_cdf97_f_ex_stride_s(src, lo, hi, N, sizeof(float), level);
+        snprintf(name, sizeof name, "swt97_f32_%d_l%d_L", N, level);
+        dump(name, "f32", 1, N, lo, 4);
+        snprintf(name, sizeof name, "swt97_f32_%d_l%d_H", N, level);
+        dump(name, "f32", 1, N, hi, 4);
+        swt_cdf53_f_ex_stride_s(src, lo, hi, N, sizeof(float), level);
+        snprintf(name, sizeof name, "swt53_f32_%d_l%d_L", N, level);
+        dump(name, "f32", 1, N, lo, 4);
+        snprintf(name, sizeof name, "swt53_f32_%d_l%d_H", N, level);
+        dump(name, "f32", 1, N, hi, 4);
+    }
+    free(src); free(lo); free(hi);
+}
+
 static void gen_2d_float(int ny, int nx, int j)
 {
     char name[128];
@@ -211,6 +280,12 @@ int main(void)
     gen_2d_int(16, 16, 3);
     gen_2d_int(17, 13, 2);
     gen_2d_int(32, 32, 5);
+
+    int sizes_eaw[] = {8, 15, 16, 17, 64, 100};
+    for (unsigned i = 0; i < sizeof(sizes_eaw) / sizeof(int); i++) {
+        gen_1d_eaw(sizes_eaw[i]);
+        gen_1d_swt(sizes_eaw[i]);
+    }
 
     fclose(out);
     dwt_util_finish();
