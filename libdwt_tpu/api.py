@@ -31,6 +31,8 @@ __all__ = [
     "idwt2",
     "wavedec2",
     "waverec2",
+    "wavedec3",
+    "waverec3",
 ]
 
 _IMPLS = ("auto", "fused", "separable")
@@ -140,3 +142,48 @@ def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None):
     for hl, lh, hh in coeffs[1:]:
         ll = idwt2(ll, hl, lh, hh, wavelet, impl=impl)
     return ll
+
+
+def wavedec3(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str] = None):
+    """Multi-level 3-D MRA with fused-kernel dispatch per level.
+
+    Uses the fused single-pass volume kernel (ops/fused3d) on TPU when
+    the level geometry allows (even dims, slab fits VMEM), the
+    separable oracle otherwise.  Same pytree as
+    :func:`libdwt_tpu.wavedec3`.
+    """
+    from libdwt_tpu.ops.fused import fused_supported
+    from libdwt_tpu.ops.fused3d import fused_dwt3_level
+    from libdwt_tpu.ops.separable import dwt3_level
+
+    dims = x.shape[-3:]
+    j = resolve_j(min(dims), min(dims), level)
+    use_fused_base = (
+        (impl or _default_impl) != "separable"
+        and fused_supported(wavelet)
+        and _on_tpu()
+        and x.ndim == 3
+    )
+    coeffs = []
+    low = x
+    for _ in range(j):
+        z, yy, xx = low.shape[-3:]
+        bands = None
+        if use_fused_base and z % 2 == 0 and yy % 2 == 0 and xx % 2 == 0 and min(z, yy, xx) > 4:
+            try:
+                bands = fused_dwt3_level(low, wavelet)
+            except ValueError:
+                bands = None
+        if bands is None:
+            bands = dwt3_level(low, wavelet)
+        low = bands.pop("LLL")
+        coeffs.append(bands)
+    return [low] + coeffs[::-1]
+
+
+def waverec3(coeffs, wavelet="cdf97", impl: Optional[str] = None):
+    """Inverse of :func:`wavedec3` (separable; reconstruction is
+    latency-bound at volume sizes that fit one chip)."""
+    from libdwt_tpu.ops.separable import waverec3 as _wr3
+
+    return _wr3(coeffs, wavelet)
