@@ -26,8 +26,10 @@ import numpy as np
 
 H, W = 2160, 4096  # "4K frame" (UHD-ish); J=5 needs H,W divisible by 32
 LEVELS = 5
-TRIALS = 20
-WARMUP = 3
+# the remote-attached device adds a dispatch-latency floor with heavy
+# jitter; many cheap trials + min is the robust estimator
+TRIALS = 60
+WARMUP = 5
 
 # HBM bandwidth per chip, GB/s (public specs).
 _BW_GBPS = {

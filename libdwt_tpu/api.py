@@ -89,10 +89,9 @@ def dwt2(x, wavelet="cdf97", impl: Optional[str] = None):
         if x.ndim == 2:
             return fused_dwt2_level(x, wavelet)
         flat = x.reshape((-1,) + x.shape[-2:])
-        outs = [fused_dwt2_level(flat[i], wavelet) for i in range(flat.shape[0])]
+        outs = jax.vmap(lambda a: fused_dwt2_level(a, wavelet))(flat)
         return tuple(
-            jnp.stack([o[k] for o in outs]).reshape(x.shape[:-2] + outs[0][k].shape)
-            for k in range(4)
+            o.reshape(x.shape[:-2] + o.shape[-2:]) for o in outs
         )
     return _sep.dwt2_level(x, wavelet)
 
@@ -106,11 +105,10 @@ def idwt2(ll, hl, lh, hh, wavelet="cdf97", impl: Optional[str] = None):
             return fused_idwt2_level(ll, hl, lh, hh, wavelet)
         shape = ll.shape[:-2]
         fl = [a.reshape((-1,) + a.shape[-2:]) for a in (ll, hl, lh, hh)]
-        outs = [
-            fused_idwt2_level(fl[0][i], fl[1][i], fl[2][i], fl[3][i], wavelet)
-            for i in range(fl[0].shape[0])
-        ]
-        return jnp.stack(outs).reshape(shape + outs[0].shape)
+        out = jax.vmap(
+            lambda a, b, c, d: fused_idwt2_level(a, b, c, d, wavelet)
+        )(*fl)
+        return out.reshape(shape + out.shape[-2:])
     return _sep.idwt2_level(ll, hl, lh, hh, wavelet)
 
 
