@@ -135,8 +135,16 @@ def wavedec2(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str
 
 
 def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None):
-    """Inverse of :func:`wavedec2`."""
+    """Inverse of :func:`wavedec2`.  On TPU large reconstructions route
+    through the multi-scale fused inverse (two levels per HBM pass)."""
     ll = coeffs[0]
+    if len(coeffs) > 1:
+        h = coeffs[-1][0].shape[-2] + coeffs[-1][1].shape[-2]
+        w = coeffs[-1][0].shape[-1] + coeffs[-1][1].shape[-1]
+        if _use_fused(h, w, wavelet, impl) and ll.ndim == 2:
+            from libdwt_tpu.ops.fused import fused_waverec2
+
+            return fused_waverec2(coeffs, wavelet)
     for hl, lh, hh in coeffs[1:]:
         ll = idwt2(ll, hl, lh, hh, wavelet, impl=impl)
     return ll

@@ -50,7 +50,9 @@ __all__ = [
     "fused_dwt2_level",
     "fused_dwt2_2level",
     "fused_idwt2_level",
+    "fused_idwt2_2level",
     "fused_wavedec2",
+    "fused_waverec2",
     "HALO",
 ]
 
@@ -563,3 +565,169 @@ def fused_idwt2_level(
         interpret=interpret,
     )(llp, hlp, lhp, hhp)
     return out[:h, :w]
+
+
+# ------------------------------------------- multi-scale inverse kernel
+
+
+def _mirror_tail_sub_repeat(a, edge: int, count: int):
+    """Repeat-mirror of sublanes past ``edge``: ext[edge+1+m] = a[edge-m]
+    (the oracle's even-length bottom rule s[Ns+m] = s[Ns-1-m])."""
+    L = a.shape[0]
+    parts = [a[: edge + 1]]
+    for m in range(count):
+        parts.append(a[edge - m : edge - m + 1])
+    used = edge + 1 + count
+    if used < L:
+        parts.append(jnp.zeros((L - used,) + a.shape[1:], a.dtype))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _inv2_kernel(ll2_ref, hl2_ref, lh2_ref, hh2_ref,
+                 hl1_ref, lh1_ref, hh1_ref, out_ref,
+                 *, wavelet, ty, wc, er1, ex1, ny):
+    # ---- level-2 inverse on the quarter-resolution windows
+    row0 = _int_sub(ll2_ref[:].T, hl2_ref[:].T).T
+    row1 = _int_sub(lh2_ref[:].T, hh2_ref[:].T).T
+    t2 = _int_sub(row0, row1)  # (ty/2+16, wc/2+16)
+    t2 = _scale_interleaved(t2, wavelet, inverse=True)
+    t2 = _lift_interleaved(t2, wavelet, axis=0, inverse=True)
+    t2 = _lift_interleaved(t2, wavelet, axis=1, inverse=True)
+    hy, hx = ty // 2, wc // 2
+    ll1 = t2[CH : CH + hy + 2 * CH, CH : CH + hx + 2 * CH]
+
+    # ---- border fixup: the reconstruction extends LL1 with the signal
+    # whole-point mirror (skip), but the level-0 inverse oracle extends
+    # its low channel with the repeat mirror at even-length bottom/right
+    # edges.  Rewrite the halo past the image edge accordingly; top/left
+    # agree already (s[-m] = s[m] both ways).
+    ll1T = _mirror_tail_sub_repeat(ll1.T, ex1, CH).T  # right edge: all strips
+    fixed = _mirror_tail_sub_repeat(ll1T, er1, CH)  # bottom edge: last strip
+    ll1 = jnp.where(pl.program_id(0) == ny - 1, fixed, ll1T)
+
+    # ---- level-0 inverse
+    row0 = _int_sub(ll1.T, hl1_ref[:].T).T
+    row1 = _int_sub(lh1_ref[:].T, hh1_ref[:].T).T
+    t1 = _int_sub(row0, row1)  # (ty+16, wc+16)
+    t1 = _scale_interleaved(t1, wavelet, inverse=True)
+    t1 = _lift_interleaved(t1, wavelet, axis=0, inverse=True)
+    t1 = _lift_interleaved(t1, wavelet, axis=1, inverse=True)
+    out_ref[:] = t1[2 * CH : 2 * CH + ty, 2 * CH : 2 * CH + wc]
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret"))
+def fused_idwt2_2level(
+    ll2, bands2, bands1,
+    wavelet="cdf97",
+    strip_rows: int = 0,
+    interpret: bool = False,
+):
+    """TWO reconstruction levels in one pass — the inverse of
+    :func:`fused_dwt2_2level` (multi-scale fused reconstruction, the
+    dwt-sym-ms.c idea in the synthesis direction).  Takes
+    (LL2, (HL2, LH2, HH2), (HL1, LH1, HH1)); requires h, w divisible
+    by 4 and a symmetric-step wavelet.
+    """
+    wavelet = get_wavelet(wavelet)
+    _check_fused_supported(wavelet)
+    hl2, lh2, hh2 = bands2
+    hl1, lh1, hh1 = bands1
+    h = hl1.shape[-2] + lh1.shape[-2]
+    w = hl1.shape[-1] + lh1.shape[-1]
+    if h % 4 or w % 4:
+        raise ValueError("fused_idwt2_2level needs h, w divisible by 4")
+    if min(h, w) < 4 * (CH + 1):
+        raise ValueError("image too small for the 2-level fused inverse")
+    wc = w
+    qrow_bytes = (wc // 4 + 2 * CH) * ll2.dtype.itemsize
+    ty = strip_rows or max(
+        64, min(512, ((1024 * 1024 * 4 // (5 * qrow_bytes)) // 32) * 32)
+    )
+    ty = min(ty, max(32, (h // 32) * 32))
+    if h <= ty:
+        ty = h
+    if ty % 32 and h > ty:
+        raise ValueError("strip_rows must be a multiple of 32")
+    ny = pl.cdiv(h, ty)
+    hy, hx = ty // 2, wc // 2
+    qy, qx = ty // 4, wc // 4
+
+    def prep(band, n_y, n_x, low_y, low_x, block_y, lanes):
+        b = _pad_channel_mirror(band, n_y, low_y, axis=-2)
+        b = _pad_channel_mirror(b, n_x, low_x, axis=-1)
+        return jnp.pad(
+            b,
+            (
+                (0, ny * block_y + 2 * CH - b.shape[-2]),
+                (0, lanes + 2 * CH - b.shape[-1]),
+            ),
+        )
+
+    # level-2 channels live on the (h/2, w/2) grid of LL1
+    ll2p = prep(ll2, h // 2, w // 2, True, True, qy, qx)
+    hl2p = prep(hl2, h // 2, w // 2, True, False, qy, qx)
+    lh2p = prep(lh2, h // 2, w // 2, False, True, qy, qx)
+    hh2p = prep(hh2, h // 2, w // 2, False, False, qy, qx)
+    # level-1 channels live on the (h, w) grid
+    hl1p = prep(hl1, h, w, True, False, hy, hx)
+    lh1p = prep(lh1, h, w, False, True, hy, hx)
+    hh1p = prep(hh1, h, w, False, False, hy, hx)
+
+    er1 = h // 2 - 1 - (ny - 1) * hy + CH  # window-row of last valid LL1 row
+    ex1 = wc // 2 - 1 + CH  # window-lane of last valid LL1 column
+    out_sd = jax.ShapeDtypeStruct((ny * ty, wc), ll2.dtype)
+    spec_q = pl.BlockSpec(
+        (pl.Element(qy + 2 * CH, (0, 0)), pl.Element(qx + 2 * CH, (0, 0))),
+        lambda i: (pl.multiple_of(i * qy, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    spec_h = pl.BlockSpec(
+        (pl.Element(hy + 2 * CH, (0, 0)), pl.Element(hx + 2 * CH, (0, 0))),
+        lambda i: (pl.multiple_of(i * hy, 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _inv2_kernel, wavelet=wavelet, ty=ty, wc=wc, er1=er1, ex1=ex1, ny=ny
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(ny,),
+        in_specs=[spec_q] * 4 + [spec_h] * 3,
+        out_specs=pl.BlockSpec((ty, wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=out_sd,
+        interpret=interpret,
+    )(ll2p, hl2p, lh2p, hh2p, hl1p, lh1p, hh1p)
+    return out[:h, :w]
+
+
+def fused_waverec2(coeffs, wavelet="cdf97", interpret: bool = False):
+    """Multi-level reconstruction using the 2-level fused inverse where
+    geometry allows, the separable oracle otherwise.  Inverse of
+    :func:`fused_wavedec2` / wavedec2."""
+    from libdwt_tpu.ops.separable import idwt2_level
+
+    ll = coeffs[0]
+    rest = list(coeffs[1:])
+    min_fused = 1024
+    while rest:
+        h2 = rest[0][0].shape[-2] + rest[0][1].shape[-2]
+        w2 = rest[0][0].shape[-1] + rest[0][1].shape[-1]
+        if (
+            len(rest) >= 2
+            and ll.ndim == 2
+            and fused_supported(wavelet)
+            and h2 % 2 == 0 and w2 % 2 == 0
+        ):
+            # peek one level further: the 2-level inverse consumes two
+            h1 = rest[1][0].shape[-2] + rest[1][1].shape[-2]
+            w1 = rest[1][0].shape[-1] + rest[1][1].shape[-1]
+            if min(h1, w1) >= min_fused and h1 % 4 == 0 and w1 % 4 == 0 \
+                    and h1 == 2 * h2 and w1 == 2 * w2:
+                ll = fused_idwt2_2level(
+                    ll, rest[0], rest[1], wavelet, interpret=interpret
+                )
+                rest = rest[2:]
+                continue
+        ll = idwt2_level(ll, *rest[0], wavelet)
+        rest = rest[1:]
+    return ll

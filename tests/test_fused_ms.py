@@ -67,3 +67,38 @@ def test_2level_rejects_bad_geometry():
     x = jnp.asarray(make_test_image(130, 128, dtype=np.float32))
     with pytest.raises(ValueError, match="divisible by 4"):
         fused_dwt2_2level(x, "cdf97", interpret=True)
+
+
+@pytest.mark.parametrize("h,w", SIZES[:4])
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53"])
+def test_2level_inverse_matches_oracle(h, w, wavelet):
+    from libdwt_tpu import waverec2
+    from libdwt_tpu.ops.fused import fused_idwt2_2level
+
+    if h % 4 or w % 4:
+        pytest.skip("2-level inverse needs div-4 geometry")
+    x = jnp.asarray(make_test_image(h, w, dtype=np.float32))
+    c = wavedec2(x, wavelet, 2)
+    want = waverec2(c, wavelet)
+    got = fused_idwt2_2level(c[0], c[1], c[2], wavelet, strip_rows=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5, rtol=0)
+
+
+@pytest.mark.parametrize("h,w", [(128, 128), (320, 128)])
+def test_2level_inverse_int_bitexact(h, w):
+    from libdwt_tpu.ops.fused import fused_idwt2_2level
+
+    x = jnp.asarray(make_test_image(h, w, dtype=np.int32))
+    c = wavedec2(x, "cdf53", 2)
+    got = fused_idwt2_2level(c[0], c[1], c[2], "cdf53", strip_rows=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(x))
+
+
+@pytest.mark.parametrize("level", [2, 3, 5])
+def test_fused_waverec2_roundtrip(level):
+    from libdwt_tpu.ops.fused import fused_waverec2
+
+    x = jnp.asarray(make_test_image(256, 160, dtype=np.float32))
+    c = wavedec2(x, "cdf97", level)
+    rec = fused_waverec2(c, "cdf97", interpret=True)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-3, rtol=0)
