@@ -152,3 +152,55 @@ def test_swt_level_matches_reference(g, n, wavelet, tag, level):
     lo, hi = swt_level(x, wavelet, level=level)
     np.testing.assert_allclose(np.asarray(lo), g[f"{key}_L"][0], atol=2e-5, rtol=0)
     np.testing.assert_allclose(np.asarray(hi), g[f"{key}_H"][0], atol=2e-5, rtol=0)
+
+
+@pytest.mark.parametrize("ny,nx", [(16, 16), (32, 24)])
+def test_eaw97_2d_forward_matches_reference(g, ny, nx):
+    """Full 2-D EAW MRA vs dwt_eaw97_2f_s (packed in-place layout with
+    per-level wH/wV weight arrays, /root/reference/src/eaw-experimental.c)."""
+    from libdwt_tpu.ops.eaw import eaw_wavedec2
+
+    key = f"eaw97_2f_f32_{ny}x{nx}_j2"
+    if key not in g:
+        pytest.skip("combo not dumped")
+    img = jnp.asarray(g[f"eawimg_f32_{ny}x{nx}"])
+    coeffs, wts = eaw_wavedec2(img, "cdf97", 2, alpha=0.8)
+    # assemble our pytree into the packed layout
+    packed = np.array(g[key])  # template for shape
+    out = np.zeros_like(packed)
+    ll = np.asarray(coeffs[0])
+    j = 2
+    # place detail bands coarse-to-fine
+    cur = ll
+    for lvl_idx, (hl, lh, hh) in enumerate(coeffs[1:]):
+        top = np.concatenate([cur, np.asarray(hl)], axis=1)
+        bot = np.concatenate([np.asarray(lh), np.asarray(hh)], axis=1)
+        cur = np.concatenate([top, bot], axis=0)
+    np.testing.assert_allclose(cur, g[key], atol=5e-5, rtol=0)
+    # per-level weights match too (wH[j] laid out row-major per row).
+    # w = 1/(|d|^a + eps) is unboundedly sensitive where |d| ~ 0, so
+    # compare the well-conditioned reciprocals (|d|^a + eps) instead.
+    for lvl in range(2):
+        wh, wv = wts[len(wts) - 1 - lvl]  # wts is coarse-first
+        ref_wh = g[f"{key}_wH{lvl}"]
+        # reference leaves w[N-1] unset per row; compare [:, :-1]
+        np.testing.assert_allclose(
+            1.0 / np.asarray(wh)[:, :-1], 1.0 / ref_wh[:, :-1], atol=2e-5
+        )
+        ref_wv = g[f"{key}_wV{lvl}"]  # stored (x, y): per-column rows
+        np.testing.assert_allclose(
+            1.0 / np.asarray(wv).T[:, :-1], 1.0 / ref_wv[:, :-1], atol=2e-5
+        )
+
+
+def test_eaw97_2d_inverse_matches_reference(g):
+    """Our inverse with our weights reproduces the reference's inverse
+    result (the original image, eaw97_2i dump)."""
+    from libdwt_tpu.ops.eaw import eaw_wavedec2, eaw_waverec2
+
+    img = jnp.asarray(g["eawimg_f32_16x16"])
+    coeffs, wts = eaw_wavedec2(img, "cdf97", 2, alpha=0.8)
+    rec = eaw_waverec2(coeffs, wts, "cdf97")
+    np.testing.assert_allclose(
+        np.asarray(rec), g["eaw97_2i_f32_16x16_j2"], atol=5e-5, rtol=0
+    )

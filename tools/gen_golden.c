@@ -170,6 +170,45 @@ static void gen_1d_eaw(int N)
     free(src); free(tmp); free(lo); free(hi); free(w);
 }
 
+#include "eaw-experimental.h"
+
+static void gen_2d_eaw(int ny, int nx, int j)
+{
+    char name[128];
+    const int stride_y = sizeof(float);
+    const int stride_x = nx * sizeof(float);
+    float *img = malloc((size_t)ny * nx * sizeof(float));
+    float *wH[16] = {0};
+    float *wV[16] = {0};
+    const float alpha = 0.8f;
+
+    reset_rand(7000 + ny * 131 + nx);
+    for (int i = 0; i < ny * nx; i++) img[i] = frand();
+    snprintf(name, sizeof name, "eawimg_f32_%dx%d", ny, nx);
+    dump(name, "f32", ny, nx, img, 4);
+
+    int jj = j;
+    dwt_eaw97_2f_s(img, stride_x, stride_y, nx, ny, nx, ny, &jj, 0, 0,
+                   wH, wV, alpha);
+    snprintf(name, sizeof name, "eaw97_2f_f32_%dx%d_j%d", ny, nx, j);
+    dump(name, "f32", ny, nx, img, 4);
+    for (int lvl = 0; lvl < jj; lvl++) {
+        int sy = (ny + (1 << lvl) - 1) >> lvl;
+        int sx = (nx + (1 << lvl) - 1) >> lvl;
+        snprintf(name, sizeof name, "eaw97_2f_f32_%dx%d_j%d_wH%d", ny, nx, j, lvl);
+        dump(name, "f32", sy, sx, wH[lvl], 4);
+        snprintf(name, sizeof name, "eaw97_2f_f32_%dx%d_j%d_wV%d", ny, nx, j, lvl);
+        dump(name, "f32", sx, sy, wV[lvl], 4);
+    }
+    /* inverse back for inverse parity */
+    dwt_eaw97_2i_s(img, stride_x, stride_y, nx, ny, nx, ny, jj, 0, 0, wH, wV);
+    snprintf(name, sizeof name, "eaw97_2i_f32_%dx%d_j%d", ny, nx, j);
+    dump(name, "f32", ny, nx, img, 4);
+
+    for (int lvl = 0; lvl < jj; lvl++) { free(wH[lvl]); free(wV[lvl]); }
+    free(img);
+}
+
 static void gen_1d_swt(int N)
 {
     char name[128];
@@ -286,6 +325,9 @@ int main(void)
         gen_1d_eaw(sizes_eaw[i]);
         gen_1d_swt(sizes_eaw[i]);
     }
+
+    gen_2d_eaw(16, 16, 2);
+    gen_2d_eaw(32, 24, 2);
 
     fclose(out);
     dwt_util_finish();
