@@ -49,6 +49,11 @@ from libdwt_tpu.utils.subband import (
 from libdwt_tpu.api import get_impl, set_impl
 from libdwt_tpu.api import dwt2 as dwt2_level_fast, idwt2 as idwt2_level_fast
 from libdwt_tpu.api import wavedec2 as wavedec2_fast, waverec2 as waverec2_fast
+from libdwt_tpu.api import wavedec3 as wavedec3_fast, waverec3 as waverec3_fast
+from libdwt_tpu.image import Image, Volume
+from libdwt_tpu.ops.eaw import eaw_wavedec2, eaw_waverec2
+from libdwt_tpu.ops.interleaved import fdwt2_interleaved, idwt2_interleaved
+from libdwt_tpu.ops.nsls import nsls_dwt2_level, nsls_idwt2_level
 from libdwt_tpu.ops.conv import convolve1, find_max_pos
 from libdwt_tpu.ops.fused import fused_dwt2_level, fused_idwt2_level
 from libdwt_tpu.ops.swt import (

@@ -122,10 +122,16 @@ def wavedec2(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str
     """
     h, w = x.shape[-2], x.shape[-1]
     j = resolve_j(h, w, level)
-    if _use_fused(h, w, wavelet, impl) and x.ndim == 2:
+    if _use_fused(h, w, wavelet, impl):
         from libdwt_tpu.ops.fused import fused_wavedec2
 
-        return fused_wavedec2(x, wavelet, j)
+        if x.ndim == 2:
+            return fused_wavedec2(x, wavelet, j)
+        flat = x.reshape((-1,) + x.shape[-2:])
+        out = jax.vmap(lambda a: fused_wavedec2(a, wavelet, j))(flat)
+        return jax.tree_util.tree_map(
+            lambda o: o.reshape(x.shape[:-2] + o.shape[-2:]), out
+        )
     coeffs = []
     ll = x
     for _ in range(j):
