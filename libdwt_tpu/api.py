@@ -86,10 +86,11 @@ def dwt2(x, wavelet="cdf97", impl: Optional[str] = None):
     """Single-level 2-D forward transform -> (LL, HL, LH, HH)."""
     h, w = x.shape[-2], x.shape[-1]
     if _use_fused(h, w, wavelet, impl):
+        interp = not _on_tpu()
         if x.ndim == 2:
-            return fused_dwt2_level(x, wavelet)
+            return fused_dwt2_level(x, wavelet, interpret=interp)
         flat = x.reshape((-1,) + x.shape[-2:])
-        outs = jax.vmap(lambda a: fused_dwt2_level(a, wavelet))(flat)
+        outs = jax.vmap(lambda a: fused_dwt2_level(a, wavelet, interpret=interp))(flat)
         return tuple(
             o.reshape(x.shape[:-2] + o.shape[-2:]) for o in outs
         )
@@ -101,12 +102,13 @@ def idwt2(ll, hl, lh, hh, wavelet="cdf97", impl: Optional[str] = None):
     h = ll.shape[-2] + hh.shape[-2]
     w = ll.shape[-1] + hh.shape[-1]
     if _use_fused(h, w, wavelet, impl):
+        interp = not _on_tpu()
         if ll.ndim == 2:
-            return fused_idwt2_level(ll, hl, lh, hh, wavelet)
+            return fused_idwt2_level(ll, hl, lh, hh, wavelet, interpret=interp)
         shape = ll.shape[:-2]
         fl = [a.reshape((-1,) + a.shape[-2:]) for a in (ll, hl, lh, hh)]
         out = jax.vmap(
-            lambda a, b, c, d: fused_idwt2_level(a, b, c, d, wavelet)
+            lambda a, b, c, d: fused_idwt2_level(a, b, c, d, wavelet, interpret=interp)
         )(*fl)
         return out.reshape(shape + out.shape[-2:])
     return _sep.idwt2_level(ll, hl, lh, hh, wavelet)
@@ -125,10 +127,11 @@ def wavedec2(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str
     if _use_fused(h, w, wavelet, impl):
         from libdwt_tpu.ops.fused import fused_wavedec2
 
+        interp = not _on_tpu()
         if x.ndim == 2:
-            return fused_wavedec2(x, wavelet, j)
+            return fused_wavedec2(x, wavelet, j, interpret=interp)
         flat = x.reshape((-1,) + x.shape[-2:])
-        out = jax.vmap(lambda a: fused_wavedec2(a, wavelet, j))(flat)
+        out = jax.vmap(lambda a: fused_wavedec2(a, wavelet, j, interpret=interp))(flat)
         return jax.tree_util.tree_map(
             lambda o: o.reshape(x.shape[:-2] + o.shape[-2:]), out
         )
@@ -150,7 +153,7 @@ def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None):
         if _use_fused(h, w, wavelet, impl) and ll.ndim == 2:
             from libdwt_tpu.ops.fused import fused_waverec2
 
-            return fused_waverec2(coeffs, wavelet)
+            return fused_waverec2(coeffs, wavelet, interpret=not _on_tpu())
     for hl, lh, hh in coeffs[1:]:
         ll = idwt2(ll, hl, lh, hh, wavelet, impl=impl)
     return ll

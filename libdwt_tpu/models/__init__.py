@@ -1,0 +1,1 @@
+"""Wavelet registry (lifting-scheme descriptions of each family)."""

@@ -68,6 +68,9 @@ CH = 4
 _VMEM_BUDGET = 10 * 1024 * 1024
 #: target input-window bytes per strip (tunable; see _pick_strip_rows).
 _STRIP_TARGET_BYTES = 1024 * 1024
+#: largest image the deep-pyramid kernel holds in VMEM (536x1024 f32 =
+#: 2.24MB verified compiling on v5e; ~6 live copies inside the 16MB limit).
+_DEEP_VMEM_LIMIT = int(2.4 * 1024 * 1024)
 
 
 # ------------------------------------------------------------ step algebra
@@ -458,6 +461,18 @@ def fused_wavedec2(x, wavelet="cdf97", level: int = 1, interpret: bool = False):
             ll, hl, lh, hh = fused_dwt2_level(ll, wavelet, interpret=interpret)
             coeffs.append((hl, lh, hh))
             remaining -= 1
+        elif (
+            remaining >= 2
+            and ll.ndim == 2
+            and fused_supported(wavelet)
+            and (h + 8) * (w + 8) * ll.dtype.itemsize <= _DEEP_VMEM_LIMIT
+            and min(h, w) >> (remaining - 1) > 2 * HALO
+        ):
+            # pyramid tail: all remaining levels in one VMEM-resident launch
+            deep = fused_deep_wavedec2(ll, wavelet, remaining, interpret=interpret)
+            ll = deep[0]
+            coeffs.extend(deep[:0:-1])  # fine-first into the accumulator
+            remaining = 0
         else:
             ll, hl, lh, hh = dwt2_level(ll, wavelet)
             coeffs.append((hl, lh, hh))
@@ -731,3 +746,106 @@ def fused_waverec2(coeffs, wavelet="cdf97", interpret: bool = False):
         ll = idwt2_level(ll, *rest[0], wavelet)
         rest = rest[1:]
     return ll
+
+
+# ------------------------------------------------- deep-pyramid kernel
+
+
+def _mirror_ext2(t, pad: int):
+    """Whole-point mirror extension by ``pad`` on both axes, built from
+    static single-row/column slices (no reverse primitive)."""
+    top = jnp.concatenate([t[m : m + 1] for m in range(pad, 0, -1)], axis=0)
+    bot = jnp.concatenate(
+        [t[-1 - m : -m if m else None] for m in range(1, pad + 1)], axis=0
+    )
+    t = jnp.concatenate([top, t, bot], axis=0)
+    tt = t.T
+    left = jnp.concatenate([tt[m : m + 1] for m in range(pad, 0, -1)], axis=0)
+    right = jnp.concatenate(
+        [tt[-1 - m : -m if m else None] for m in range(1, pad + 1)], axis=0
+    )
+    return jnp.concatenate([left, tt, right], axis=0).T
+
+
+def _deep_kernel(x_ref, *out_refs, wavelet, levels, h, w):
+    cur = x_ref[:]
+    refs = list(out_refs)
+    ch, cw = h, w
+    for _ in range(levels):
+        ext = _mirror_ext2(cur[:ch, :cw] if (ch, cw) != cur.shape else cur, HALO)
+        ext = _lift_interleaved(ext, wavelet, axis=1, inverse=False)
+        ext = _lift_interleaved(ext, wavelet, axis=0, inverse=False)
+        ext = _scale_interleaved(ext, wavelet, inverse=False)
+        che, cwe = ch + ch % 2, cw + cw % 2  # odd: one extra mirror sample
+        v = ext[HALO : HALO + che, HALO : HALO + cwe]
+        a, b = _deint_sub(v)
+        llT, hlT = _deint_sub(a.T)
+        lhT, hhT = _deint_sub(b.T)
+        cy, cx = -(-ch // 2), -(-cw // 2)
+        fy, fx = ch // 2, cw // 2
+        hl_ref, lh_ref, hh_ref = refs.pop(0), refs.pop(0), refs.pop(0)
+        hl_ref[:] = hlT.T[:cy, :fx]
+        lh_ref[:] = lhT.T[:fy, :cx]
+        hh_ref[:] = hhT.T[:fy, :fx]
+        cur = llT.T[:cy, :cx]
+        ch, cw = cy, cx
+    refs.pop(0)[:] = cur
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "levels", "interpret"))
+def fused_deep_wavedec2(
+    x: jax.Array,
+    wavelet="cdf97",
+    levels: int = 1,
+    interpret: bool = False,
+):
+    """ALL remaining pyramid levels in ONE kernel launch with the whole
+    image resident in VMEM — the tail-of-pyramid companion to the
+    strip kernels (per-level HBM round trips and launches disappear;
+    the deep levels are latency-bound, not bandwidth-bound).
+
+    Requires (h+8)*(w+8)*itemsize small enough for several VMEM copies;
+    callers fall back to the separable oracle otherwise.  Returns the
+    wavedec2 pytree.
+    """
+    wavelet = get_wavelet(wavelet)
+    _check_fused_supported(wavelet)
+    if x.ndim != 2:
+        raise ValueError("fused_deep_wavedec2 takes one 2-D image")
+    h, w = x.shape
+    if (h + 8) * (w + 8) * x.dtype.itemsize > _DEEP_VMEM_LIMIT:
+        raise ValueError("image too large to hold the deep pyramid in VMEM")
+    if min(h, w) >> (levels - 1) <= 2 * HALO:
+        raise ValueError("too many levels for this size; reduce or use oracle")
+
+    shapes = []
+    ch, cw = h, w
+    for _ in range(levels):
+        cy, cx = -(-ch // 2), -(-cw // 2)
+        fy, fx = ch // 2, cw // 2
+        shapes.append(((cy, fx), (fy, cx), (fy, fx)))  # hl, lh, hh
+        ch, cw = cy, cx
+    out_sd = []
+    for (hs, ls, hhs) in shapes:
+        out_sd += [
+            jax.ShapeDtypeStruct(hs, x.dtype),
+            jax.ShapeDtypeStruct(ls, x.dtype),
+            jax.ShapeDtypeStruct(hhs, x.dtype),
+        ]
+    out_sd.append(jax.ShapeDtypeStruct((ch, cw), x.dtype))
+
+    kernel = functools.partial(
+        _deep_kernel, wavelet=wavelet, levels=levels, h=h, w=w
+    )
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[spec],
+        out_specs=tuple([spec] * len(out_sd)),
+        out_shape=tuple(out_sd),
+        interpret=interpret,
+    )(x)
+    coeffs = [outs[-1]]
+    for lvl in range(levels - 1, -1, -1):
+        coeffs.append(tuple(outs[3 * lvl : 3 * lvl + 3]))
+    return coeffs

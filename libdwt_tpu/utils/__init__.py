@@ -1,0 +1,1 @@
+"""Support layer: subband geometry, I/O, perf, fixed point, misc utils."""

@@ -102,3 +102,27 @@ def test_fused_waverec2_roundtrip(level):
     c = wavedec2(x, "cdf97", level)
     rec = fused_waverec2(c, "cdf97", interpret=True)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-3, rtol=0)
+
+
+@pytest.mark.parametrize("h,w,level", [(64, 64, 3), (67, 129, 3), (128, 96, 4)])
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53"])
+def test_deep_pyramid_matches_oracle(h, w, level, wavelet):
+    """The VMEM-resident deep-pyramid kernel (all levels, one launch)."""
+    from libdwt_tpu.ops.fused import fused_deep_wavedec2
+
+    x = jnp.asarray(make_test_image(h, w, dtype=np.float32))
+    want = wavedec2(x, wavelet, level)
+    got = fused_deep_wavedec2(x, wavelet, level, interpret=True)
+    for a, b in zip(_leaves(got), _leaves(want)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=0)
+
+
+def test_deep_pyramid_int_bitexact():
+    from libdwt_tpu.ops.fused import fused_deep_wavedec2
+
+    x = jnp.asarray(make_test_image(64, 96, dtype=np.int32))
+    want = wavedec2(x, "cdf53", 3)
+    got = fused_deep_wavedec2(x, "cdf53", 3, interpret=True)
+    for a, b in zip(_leaves(got), _leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
