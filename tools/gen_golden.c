@@ -128,9 +128,11 @@ static void gen_1d_int(int N)
     free(src); free(tmp); free(lo); free(hi);
 }
 
-/* EAW 1-D entries exist in the reference but are not declared in the
+/* Some 1-D entries exist in the reference but are not declared in the
  * public header; declare them here (defined in libdwt.c and
  * eaw-experimental.c). */
+extern void dwt_interp53_f_ex_stride_s(const float *src, float *dst_l,
+    float *dst_h, float *tmp, int N, int stride);
 extern void dwt_eaw53_f_ex_stride_s(const float *src, float *dst_l,
     float *dst_h, float *tmp, int N, int stride, float *w, float alpha);
 extern void dwt_eaw97_f_ex_stride_s(const float *src, float *dst_l,
