@@ -98,6 +98,11 @@ class Image:
         j = resolve_j(self.size_y, self.size_x, level)
         return Image(fdwt2(self.data, wavelet, j), j)
 
+    def wavedec(self, wavelet="cdf97", level: Optional[int] = None,
+                impl: Optional[str] = None):
+        """Pytree MRA through the dispatching fast path (fused on TPU)."""
+        return wavedec2(self.data, wavelet, level, impl=impl)
+
     def idwt(self, wavelet="cdf97", level: Optional[int] = None) -> "Image":
         """Inverse packed transform (image_idwt_s)."""
         j = self.j if level is None else level

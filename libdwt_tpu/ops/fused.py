@@ -213,24 +213,38 @@ def _fwd_kernel(x_ref, ll_ref, hl_ref, lh_ref, hh_ref, *, wavelet, ty, wc):
     hh_ref[:] = hhT.T
 
 
-@functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret", "boundary_rows"))
 def fused_dwt2_level(
     x: jax.Array,
     wavelet="cdf97",
     strip_rows: int = 0,
     interpret: bool = False,
+    boundary_rows: str = "mirror",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Single-level fused 2-D forward DWT -> (LL, HL, LH, HH).
 
     Semantics identical to :func:`libdwt_tpu.dwt2_level` (the separable
     oracle); float results agree to FP-association tolerance, integer
     results bit-exactly.  Requires min(H, W) > HALO.
+
+    ``boundary_rows='extended'`` means the caller already supplied HALO
+    valid rows above and below the image (x has h+2*HALO rows, h even)
+    — the sharded path's halo-exchange case — so no row mirror is
+    applied; columns still mirror.
     """
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
     if x.ndim != 2:
         raise ValueError("fused_dwt2_level takes one 2-D image; vmap/loop batches")
-    h, w = x.shape
+    if boundary_rows not in ("mirror", "extended"):
+        raise ValueError("boundary_rows must be 'mirror' or 'extended'")
+    if boundary_rows == "extended":
+        h = x.shape[0] - 2 * HALO
+        w = x.shape[1]
+        if h % 2:
+            raise ValueError("extended mode needs an even row count")
+    else:
+        h, w = x.shape
     if min(h, w) <= HALO:
         raise ValueError("image too small for the fused kernel; use the oracle")
 
@@ -244,9 +258,12 @@ def fused_dwt2_level(
         ty = he
     ny = pl.cdiv(he, ty)
 
-    # mirror by HALO on all sides, zero-align rows to the strip grid and
-    # columns to even width.
-    xp = jnp.pad(x, ((HALO, HALO), (HALO, HALO)), mode="reflect")
+    # mirror by HALO (rows only when not caller-extended), zero-align
+    # rows to the strip grid and columns to even width.
+    if boundary_rows == "extended":
+        xp = jnp.pad(x, ((0, 0), (HALO, HALO)), mode="reflect")
+    else:
+        xp = jnp.pad(x, ((HALO, HALO), (HALO, HALO)), mode="reflect")
     xp = jnp.pad(
         xp,
         ((0, ny * ty + 2 * HALO - xp.shape[0]), (0, wc + 2 * HALO - xp.shape[1])),

@@ -107,28 +107,32 @@ def _bank(kernels) -> Tuple[np.ndarray, int]:
 def _tf_plane(sig: jax.Array, bank: np.ndarray, center: int) -> jax.Array:
     """Complex correlation responses for every bin in one conv pass.
 
-    out[b, i] = sum_j sig_zeropad[i + j - center] * conj(bank[b, j]) —
-    the cdot1_s overlap sum (/root/reference/src/gabor.c:105-160) with
-    out-of-range terms contributing zero.
+    out[..., b, i] = sum_j sig_zeropad[..., i + j - center] * conj(bank[b, j])
+    — the cdot1_s overlap sum (/root/reference/src/gabor.c:105-160) with
+    out-of-range terms contributing zero.  Batched over leading axes.
     """
     sig = jnp.asarray(sig)
+    lead = sig.shape[:-1]
     n = sig.shape[-1]
     k = bank.shape[-1]
     dt = sig.dtype
-    xp = jnp.pad(sig, (center, k - 1 - center))[None, None, :]
+    flat = sig.reshape((-1, n))
+    pads = [(0, 0)] * (flat.ndim - 1) + [(center, k - 1 - center)]
+    xp = jnp.pad(flat, pads)[:, None, :]
     kern_re = jnp.asarray(np.real(bank), dt)[:, None, :]
     kern_im = jnp.asarray(np.imag(bank), dt)[:, None, :]
     dn = jax.lax.conv_dimension_numbers(xp.shape, kern_re.shape, ("NCH", "OIH", "NCH"))
     re = jax.lax.conv_general_dilated(xp, kern_re, (1,), "VALID", dimension_numbers=dn)
     im = jax.lax.conv_general_dilated(xp, kern_im, (1,), "VALID", dimension_numbers=dn)
     # conj(kern): re - i*im
-    return (re - 1j * im)[0, :, :n]
+    out = (re - 1j * im)[:, :, :n]
+    return out.reshape(lead + out.shape[1:]) if lead else out[0]
 
 
 def _plane_rows(resp: jax.Array, out: str):
     """Magnitude or phase, with the reference's bottom-up row order."""
     vals = jnp.abs(resp) if out == "mag" else jnp.angle(resp)
-    return vals[::-1, :].astype(jnp.float32)
+    return vals[..., ::-1, :].astype(jnp.float32)
 
 
 def gabor_ft(sig, bins: int, sigma: float, out: str = "mag") -> jax.Array:

@@ -147,6 +147,19 @@ def _level_fwd_local(ll, wavelet, axis_name):
     return ll2, hl, lh, hh
 
 
+def _level_fwd_local_fused(ll, wavelet, axis_name, interpret):
+    """Fused-kernel variant: exchange the 4-row halo once, then run the
+    single-loop Pallas strip kernel on the extended local block
+    (boundary_rows='extended'), keeping row+column lifting in one VMEM
+    residency per shard."""
+    from libdwt_tpu.ops.fused import fused_dwt2_level
+
+    ext = _exchange_rows_fwd(ll, axis_name)
+    return fused_dwt2_level(
+        ext, wavelet, interpret=interpret, boundary_rows="extended"
+    )
+
+
 def _level_inv_local(ll, hl, lh, hh, wavelet, axis_name):
     l = _col_inv(ll, lh, wavelet, axis_name)
     h = _col_inv(hl, hh, wavelet, axis_name)
@@ -178,6 +191,8 @@ def sharded_wavedec2(
     mesh: Mesh,
     space_axis: str = "space",
     data_axis: Optional[str] = "data",
+    use_fused: bool = False,
+    interpret: bool = False,
 ):
     """Multi-level 2-D MRA sharded over mesh rows (and batch over data).
 
@@ -185,6 +200,10 @@ def sharded_wavedec2(
     and H sharded over ``space_axis``.  Returns the same pytree structure
     as :func:`libdwt_tpu.wavedec2` — [LL_J, (HL_J, LH_J, HH_J), ...] —
     with every array sharded identically to the input.
+
+    ``use_fused=True`` runs the per-shard work through the single-loop
+    Pallas strip kernel (one VMEM residency per level per shard) after
+    the halo exchange; needs 2-D local blocks with even row counts.
     """
     wavelet = get_wavelet(wavelet)
     n_space = mesh.shape[space_axis]
@@ -198,13 +217,21 @@ def sharded_wavedec2(
         coeffs = []
         ll = xl
         for _ in range(level):
-            ll, hl, lh, hh = _level_fwd_local(ll, wavelet, space_axis)
+            if use_fused and ll.ndim == 2:
+                ll, hl, lh, hh = _level_fwd_local_fused(
+                    ll, wavelet, space_axis, interpret
+                )
+            else:
+                ll, hl, lh, hh = _level_fwd_local(ll, wavelet, space_axis)
             coeffs.append((hl, lh, hh))
         return [ll] + coeffs[::-1]
 
     out_specs = [spec] + [(spec, spec, spec)] * level
+    # check_vma must be off when Pallas calls run inside the shard
+    # (their ShapeDtypeStruct outputs carry no varying-mesh-axes info).
     return jax.shard_map(
-        local_fn, mesh=mesh, in_specs=spec, out_specs=out_specs
+        local_fn, mesh=mesh, in_specs=spec, out_specs=out_specs,
+        check_vma=not use_fused,
     )(x)
 
 

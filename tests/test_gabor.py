@@ -122,3 +122,14 @@ def test_detect_ridges3_peak():
 def test_signals_generate(t):
     s = G.test_signal(64, t)
     assert s.shape == (64,) and np.isfinite(s).all()
+
+
+def test_tf_plane_batched():
+    """Batched signals produce the same planes as per-signal calls."""
+    rng = np.random.RandomState(5)
+    sigs = rng.randn(3, 64).astype(np.float32)
+    batch = np.asarray(G.gabor_ft(sigs, 8, sigma=4.0))
+    assert batch.shape == (3, 8, 64)
+    for i in range(3):
+        single = np.asarray(G.gabor_ft(sigs[i], 8, sigma=4.0))
+        np.testing.assert_allclose(batch[i], single, atol=1e-6)

@@ -137,3 +137,29 @@ def test_sharded_3d_multilevel_batched():
     _tree_allclose(got, want, atol=1e-4)
     rec = sharded_waverec3(got, "cdf97", mesh=mesh)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-3, rtol=0)
+
+
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53"])
+def test_sharded_fused_matches_oracle(wavelet):
+    """Per-shard fused Pallas kernel (halo-extended boundary mode) vs
+    the unsharded oracle, on the virtual CPU mesh in interpret mode."""
+    mesh = make_mesh_2d(1, 4)
+    level = 2
+    h = 4 * (1 << level) * 16  # local rows 64 at level 0, 32 at level 1
+    w = 96
+    x = jnp.asarray(make_test_image(h, w, dtype=np.float32))
+    want = wavedec2(x, wavelet, level)
+    got = sharded_wavedec2(
+        x, wavelet, level, mesh=mesh, use_fused=True, interpret=True
+    )
+    _tree_allclose(got, want, atol=1e-4)
+
+
+def test_sharded_fused_int_bitexact():
+    mesh = make_mesh_2d(1, 4)
+    h, w = 4 * 2 * 16, 64
+    x = jnp.asarray(make_test_image(h, w, dtype=np.int32))
+    want = wavedec2(x, "cdf53", 1)
+    got = sharded_wavedec2(x, "cdf53", 1, mesh=mesh, use_fused=True, interpret=True)
+    for a, b in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
