@@ -1,19 +1,23 @@
 """Headline benchmark: Mpix/s/chip for 4K multi-level CDF 9/7 2-D DWT.
 
-Replicates the reference's measurement protocol — min-of-N trials with
-the transform under timing and compile/warmup excluded
-(/root/reference/src/libdwt.c:21441-21507, dwt_util_perf_cdf97_2_s) —
-but reports Megapixels/s/chip on the BASELINE.md config (4K frame, f32,
-J=5, symmetric extension).
+Protocol: the reference's min-of-N discipline
+(/root/reference/src/libdwt.c:21441-21507) — N blocking dispatches over
+rotating distinct input frames, keep the fastest.  Blocking (device
+round trip per frame) is the conservative choice for a remote-attached
+device: enqueue-style throughput measurement is not defensible through
+a transport whose readiness semantics cannot be audited, so the
+reported number includes dispatch latency and underestimates the
+device's sustained rate.
 
-Prints ONE JSON line:
+Config: 4K frame (2144x4096 after J=5 alignment), f32, CDF 9/7, J=5,
+symmetric extension.  Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
 
 The reference publishes no absolute numbers (BASELINE.md), so
-``vs_baseline`` is measured against the driver-defined target instead:
+``vs_baseline`` compares against the driver-defined target instead:
 90% of the single-chip HBM roofline for the minimal traffic of a fused
-multi-level transform (read+write every pixel once per level pyramid,
-sum_j 8B/4^j ~ 10.67 B/pixel).  vs_baseline >= 1.0 means target met.
+multi-level transform (sum_j 8B/4^j ~ 10.67 B/pixel at the nominal
+819 GB/s).  vs_baseline >= 1.0 means target met.
 """
 import json
 import sys
@@ -26,8 +30,9 @@ import numpy as np
 
 H, W = 2160, 4096  # "4K frame" (UHD-ish); J=5 needs H,W divisible by 32
 LEVELS = 5
-# the remote-attached device adds a dispatch-latency floor with heavy
-# jitter; many cheap trials + min is the robust estimator
+N_BUFFERS = 4
+# remote-attached dispatch jitters heavily; many cheap trials + min is
+# the robust estimator
 TRIALS = 60
 WARMUP = 5
 
@@ -56,16 +61,18 @@ def main():
     h = (H // (1 << LEVELS)) * (1 << LEVELS)
     w = (W // (1 << LEVELS)) * (1 << LEVELS)
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(h, w).astype(np.float32))
+    xs = [
+        jnp.asarray(rng.rand(h, w).astype(np.float32)) for _ in range(N_BUFFERS)
+    ]
 
     fn = jax.jit(lambda a: wavedec2(a, "cdf97", LEVELS))
-    for _ in range(WARMUP):
-        jax.block_until_ready(fn(x))
+    for i in range(WARMUP):
+        jax.block_until_ready(fn(xs[i % N_BUFFERS]))
 
     best = float("inf")
-    for _ in range(TRIALS):
+    for i in range(TRIALS):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(x))
+        jax.block_until_ready(fn(xs[i % N_BUFFERS]))
         best = min(best, time.perf_counter() - t0)
 
     mpix_s = (h * w) / best / 1e6
