@@ -14,14 +14,12 @@ function also takes an explicit ``impl=`` override.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
-from libdwt_tpu.models.wavelets import get_wavelet
 from libdwt_tpu.ops import separable as _sep
-from libdwt_tpu.ops.fused import HALO, fused_dwt2_level, fused_idwt2_level
+from libdwt_tpu.ops.fused import fused_dwt2_level, fused_idwt2_level
 from libdwt_tpu.utils.subband import resolve_j
 
 __all__ = [

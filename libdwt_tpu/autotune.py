@@ -13,14 +13,13 @@ one process.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from libdwt_tpu.ops.fused import fused_dwt2_2level, fused_dwt2_level
+from libdwt_tpu.ops.fused import fused_dwt2_level
 from libdwt_tpu.ops.separable import dwt2_level
 from libdwt_tpu.utils.perf import measure
 

@@ -22,10 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from libdwt_tpu.api import wavedec2, waverec2
+from libdwt_tpu.api import wavedec2
 from libdwt_tpu.ops.separable import fdwt2, fdwt3, idwt2, idwt3
 from libdwt_tpu.utils import io as dio
-from libdwt_tpu.utils.subband import band_view, j_limit, resolve_j
+from libdwt_tpu.utils.subband import band_view, resolve_j
 from libdwt_tpu.utils.testimg import test_image as _test_pattern
 
 __all__ = ["Image", "Volume", "conv_show"]
@@ -155,6 +155,14 @@ class Volume:
         dims = self.data.shape[-3:]
         j = resolve_j(min(dims), min(dims), level)
         return Volume(fdwt3(self.data, wavelet, j), j)
+
+    def wavedec(self, wavelet="cdf97", level: Optional[int] = None,
+                impl: Optional[str] = None):
+        """Pytree 3-D MRA through the dispatching fast path (fused
+        volume kernel on TPU when geometry allows)."""
+        from libdwt_tpu.api import wavedec3
+
+        return wavedec3(self.data, wavelet, level, impl=impl)
 
     def idwt(self, wavelet="cdf97", level: Optional[int] = None) -> "Volume":
         j = self.j if level is None else level

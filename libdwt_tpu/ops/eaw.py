@@ -23,7 +23,7 @@ ops.lifting, with the weight channels split even/odd alongside the data.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ nothing, exactly reproducing the truncated overlap sum).
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from libdwt_tpu.models.wavelets import get_wavelet
 from libdwt_tpu.ops.lifting import lift_fwd, lift_inv, merge, split
 from libdwt_tpu.utils.subband import ceil_div_pow2, resolve_j
 

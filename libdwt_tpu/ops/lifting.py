@@ -25,7 +25,6 @@ The low channel gets ceil(N/2) samples, the high channel floor(N/2)
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -14,12 +14,11 @@ Two coefficient layouts are provided, both present in the reference:
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from libdwt_tpu.models.wavelets import get_wavelet
 from libdwt_tpu.ops.lifting import lift_fwd, lift_inv
 from libdwt_tpu.utils.subband import ceil_div_pow2, resolve_j
 

@@ -17,7 +17,7 @@ polyphase reconstructions per level, the standard ISWT recursion.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,12 +21,11 @@ rows (-2).  Batch axes shard trivially over the "data" mesh axis.
 """
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from libdwt_tpu.models.wavelets import get_wavelet
 from libdwt_tpu.ops.lifting import lift_fwd, lift_inv

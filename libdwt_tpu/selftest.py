@@ -21,7 +21,6 @@ def selftest(size: int = 64, verbose: bool = False) -> Dict[str, bool]:
     """Round-trip every wavelet x dtype x impl combination the current
     device supports; returns {case_name: passed}."""
     from libdwt_tpu import REGISTRY, fdwt2, idwt2, wavedec2, waverec2
-    from libdwt_tpu.api import wavedec2 as wd2_fast, waverec2 as wr2_fast
     from libdwt_tpu.ops.fused import fused_supported
     from libdwt_tpu.utils.testimg import EPS, test_image
 

@@ -20,7 +20,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from libdwt_tpu.models.wavelets import get_wavelet
 

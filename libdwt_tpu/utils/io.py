@@ -12,8 +12,7 @@ Uses the native C++ codecs (native/io.cc) when built, numpy otherwise.
 from __future__ import annotations
 
 import ctypes
-import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import ctypes
 import time
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,7 @@ Band naming follows the reference's ``enum dwt_subbands``
 """
 from __future__ import annotations
 
-import math
-from typing import Dict, Tuple
+from typing import Tuple
 
 
 def ceil_div2(n: int) -> int:

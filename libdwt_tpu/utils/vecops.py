@@ -11,7 +11,7 @@ variants map the reference's per-y loops onto one vectorized call.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
