@@ -87,10 +87,17 @@ def dwt2(x, wavelet="cdf97", impl: Optional[str] = None):
         interp = not _on_tpu()
         if x.ndim == 2:
             return fused_dwt2_level(x, wavelet, interpret=interp)
+        # trace-time loop rather than vmap: vmap folds the batch into the
+        # kernel grid and multiplies the VMEM working set (observed OOM
+        # on batched 4K frames); sequential launches are VMEM-safe.
+        import jax.numpy as jnp
+
         flat = x.reshape((-1,) + x.shape[-2:])
-        outs = jax.vmap(lambda a: fused_dwt2_level(a, wavelet, interpret=interp))(flat)
+        per = [fused_dwt2_level(flat[i], wavelet, interpret=interp)
+               for i in range(flat.shape[0])]
         return tuple(
-            o.reshape(x.shape[:-2] + o.shape[-2:]) for o in outs
+            jnp.stack([p[k] for p in per]).reshape(x.shape[:-2] + per[0][k].shape)
+            for k in range(4)
         )
     return _sep.dwt2_level(x, wavelet)
 
@@ -103,11 +110,14 @@ def idwt2(ll, hl, lh, hh, wavelet="cdf97", impl: Optional[str] = None):
         interp = not _on_tpu()
         if ll.ndim == 2:
             return fused_idwt2_level(ll, hl, lh, hh, wavelet, interpret=interp)
+        import jax.numpy as jnp
+
         shape = ll.shape[:-2]
         fl = [a.reshape((-1,) + a.shape[-2:]) for a in (ll, hl, lh, hh)]
-        out = jax.vmap(
-            lambda a, b, c, d: fused_idwt2_level(a, b, c, d, wavelet, interpret=interp)
-        )(*fl)
+        per = [fused_idwt2_level(fl[0][i], fl[1][i], fl[2][i], fl[3][i],
+                                 wavelet, interpret=interp)
+               for i in range(fl[0].shape[0])]
+        out = jnp.stack(per)
         return out.reshape(shape + out.shape[-2:])
     return _sep.idwt2_level(ll, hl, lh, hh, wavelet)
 
@@ -128,8 +138,12 @@ def wavedec2(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str
         interp = not _on_tpu()
         if x.ndim == 2:
             return fused_wavedec2(x, wavelet, j, interpret=interp)
+        import jax.numpy as jnp
+
         flat = x.reshape((-1,) + x.shape[-2:])
-        out = jax.vmap(lambda a: fused_wavedec2(a, wavelet, j, interpret=interp))(flat)
+        per = [fused_wavedec2(flat[i], wavelet, j, interpret=interp)
+               for i in range(flat.shape[0])]
+        out = jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *per)
         return jax.tree_util.tree_map(
             lambda o: o.reshape(x.shape[:-2] + o.shape[-2:]), out
         )
