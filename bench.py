@@ -58,6 +58,19 @@ def device_bw_gbps() -> float:
 def main():
     from libdwt_tpu.api import wavedec2
 
+    # correctness gates on the device before timing (BASELINE.md):
+    # reversible integer round trip must be bit-exact; float round trip
+    # within the reference's eps.
+    from libdwt_tpu import fdwt2, idwt2
+    from libdwt_tpu.utils.testimg import EPS, test_image
+
+    xi = jnp.asarray(test_image(256, 256, dtype=np.int32))
+    ri = idwt2(fdwt2(xi, "cdf53", 3), "cdf53", 3)
+    assert bool((ri == xi).all()), "int round trip not bit-exact"
+    xf = jnp.asarray(test_image(256, 256, dtype=np.float32))
+    rf = idwt2(fdwt2(xf, "cdf97", 3), "cdf97", 3)
+    assert float(jnp.abs(rf - xf).max()) <= EPS, "float round trip out of eps"
+
     h = (H // (1 << LEVELS)) * (1 << LEVELS)
     w = (W // (1 << LEVELS)) * (1 << LEVELS)
     rng = np.random.RandomState(0)
@@ -69,11 +82,28 @@ def main():
     for i in range(WARMUP):
         jax.block_until_ready(fn(xs[i % N_BUFFERS]))
 
-    best = float("inf")
-    for i in range(TRIALS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(xs[i % N_BUFFERS]))
-        best = min(best, time.perf_counter() - t0)
+    def measure_best():
+        best = float("inf")
+        for i in range(TRIALS):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(xs[i % N_BUFFERS]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # The remote transport occasionally degrades by >100x for minutes at
+    # a time; a frame time far above any plausible device+dispatch cost
+    # indicates such a window, not the kernel.  Wait it out (bounded).
+    best = measure_best()
+    degraded_threshold = 2e-3  # 2 ms/frame ~ 10x worst healthy value
+    attempts = 0
+    while best > degraded_threshold and attempts < 8:
+        print(
+            f"# transport degraded ({best*1e3:.1f} ms/frame); retrying...",
+            file=sys.stderr,
+        )
+        time.sleep(45)
+        attempts += 1
+        best = min(best, measure_best())
 
     mpix_s = (h * w) / best / 1e6
 
