@@ -92,17 +92,19 @@ def main():
 
     # The remote transport occasionally degrades by >100x for minutes at
     # a time; a frame time far above any plausible device+dispatch cost
-    # indicates such a window, not the kernel.  Wait it out (bounded).
+    # indicates such a window, not the kernel.  Wait it out, but keep the
+    # retry budget time-bounded so a result always prints even under an
+    # external timeout.
     best = measure_best()
     degraded_threshold = 2e-3  # 2 ms/frame ~ 10x worst healthy value
-    attempts = 0
-    while best > degraded_threshold and attempts < 8:
+    retry_deadline = time.monotonic() + 180.0
+    while best > degraded_threshold and time.monotonic() < retry_deadline:
         print(
             f"# transport degraded ({best*1e3:.1f} ms/frame); retrying...",
             file=sys.stderr,
+            flush=True,
         )
-        time.sleep(45)
-        attempts += 1
+        time.sleep(30)
         best = min(best, measure_best())
 
     mpix_s = (h * w) / best / 1e6
