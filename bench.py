@@ -55,21 +55,24 @@ def device_bw_gbps() -> float:
     return 819.0  # conservative default
 
 
-def main():
-    from libdwt_tpu.api import wavedec2
-
-    # correctness gates on the device before timing (BASELINE.md):
-    # reversible integer round trip must be bit-exact; float round trip
-    # within the reference's eps.
+def _correctness_gates():
+    """BASELINE.md gates, run AFTER timing: executing eager (op-by-op)
+    programs first was observed to poison the remote terminal's program
+    cache and slow every later dispatch ~200x.  Jitted single programs,
+    after the measurement, are safe."""
     from libdwt_tpu import fdwt2, idwt2
     from libdwt_tpu.utils.testimg import EPS, test_image
 
     xi = jnp.asarray(test_image(256, 256, dtype=np.int32))
-    ri = idwt2(fdwt2(xi, "cdf53", 3), "cdf53", 3)
+    ri = jax.jit(lambda a: idwt2(fdwt2(a, "cdf53", 3), "cdf53", 3))(xi)
     assert bool((ri == xi).all()), "int round trip not bit-exact"
     xf = jnp.asarray(test_image(256, 256, dtype=np.float32))
-    rf = idwt2(fdwt2(xf, "cdf97", 3), "cdf97", 3)
+    rf = jax.jit(lambda a: idwt2(fdwt2(a, "cdf97", 3), "cdf97", 3))(xf)
     assert float(jnp.abs(rf - xf).max()) <= EPS, "float round trip out of eps"
+
+
+def main():
+    from libdwt_tpu.api import wavedec2
 
     h = (H // (1 << LEVELS)) * (1 << LEVELS)
     w = (W // (1 << LEVELS)) * (1 << LEVELS)
@@ -108,6 +111,8 @@ def main():
         best = min(best, measure_best())
 
     mpix_s = (h * w) / best / 1e6
+
+    _correctness_gates()
 
     # Minimal HBM traffic for the level pyramid: level j reads+writes
     # h*w/4^j pixels at 4B each.
