@@ -20,12 +20,24 @@ multi-level transform (sum_j 8B/4^j ~ 10.67 B/pixel at the nominal
 819 GB/s).  vs_baseline >= 1.0 means target met.
 """
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compilation cache: repeat bench runs skip the multi-minute
+# remote compiles (harmless if the backend ignores it)
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 
 H, W = 2160, 4096  # "4K frame" (UHD-ish); J=5 needs H,W divisible by 32
