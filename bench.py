@@ -105,12 +105,18 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
+    # Dispatch latency drifts on ~10 s scales; three spaced passes give
+    # the min a chance to land in a good window.
+    best = measure_best()
+    for _ in range(2):
+        time.sleep(10)
+        best = min(best, measure_best())
+
     # The remote transport occasionally degrades by >100x for minutes at
     # a time; a frame time far above any plausible device+dispatch cost
     # indicates such a window, not the kernel.  Wait it out, but keep the
     # retry budget time-bounded so a result always prints even under an
     # external timeout.
-    best = measure_best()
     degraded_threshold = 2e-3  # 2 ms/frame ~ 10x worst healthy value
     retry_deadline = time.monotonic() + 180.0
     while best > degraded_threshold and time.monotonic() < retry_deadline:
