@@ -45,6 +45,8 @@ from libdwt_tpu.utils.subband import (
     j_limit,
     level_sizes,
     resolve_j,
+    zero_padding_f,
+    zero_padding_i,
 )
 from libdwt_tpu.api import get_impl, set_impl
 from libdwt_tpu.api import dwt2 as dwt2_level_fast, idwt2 as idwt2_level_fast

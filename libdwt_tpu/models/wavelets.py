@@ -53,18 +53,30 @@ class FloatLiftStep:
 class IntLiftStep:
     """One reversible integer lifting step.
 
-    ``target = target + sign * ((w * (left + right) + k) >> shift)``
+    ``target = target + sign * ((wl*left + wr*right + k) >> shift)``
 
-    with arithmetic (sign-propagating) right shift, matching the C
-    expressions in the reference, e.g. ``tmp[i] -= (+203*(l+r) - (1<<6)) >> 7``
-    (/root/reference/src/libdwt.c:10920).
+    with arithmetic (sign-propagating) right shift.  The symmetric CDF
+    steps have wl == wr == w, matching the C expressions in the
+    reference, e.g. ``tmp[i] -= (+203*(l+r) - (1<<6)) >> 7``
+    (/root/reference/src/libdwt.c:10920).  One-sided steps (wl or wr
+    zero) cover the Haar S-transform
+    (/root/reference/examples/cores/cores-haar.c:10-31).
     """
 
     target: str  # 'd' or 's'
     sign: int  # +1 or -1
-    w: int
-    k: int
-    shift: int
+    w: int = 0  # symmetric weight; used for both sides when wl/wr unset
+    k: int = 0
+    shift: int = 0
+    wl: Optional[int] = None
+    wr: Optional[int] = None
+
+    @property
+    def weights(self) -> Tuple[int, int]:
+        return (
+            self.w if self.wl is None else self.wl,
+            self.w if self.wr is None else self.wr,
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,7 +180,10 @@ INTERP53 = Wavelet(
 # core_fwd_haar_v2x1_f32 (/root/reference/examples/cores/cores-haar.c:10-31):
 #   d -= s ; s += d/2 ; no scaling.
 # Integer version is the classic reversible S-transform:
-#   d -= s ; s += d >> 1 (floor), bit-exact round trip.
+#   d -= s ; s += d >> 1 (floor), bit-exact round trip.  For a 'd'
+# target the (left, right) neighbours are (s[k], s[k+1]), so "uses only
+# s[k]" is the one-sided step wl=1, wr=0; for an 's' target they are
+# (d[k-1], d[k]), so "uses d[k]" is wl=0, wr=1.
 HAAR = Wavelet(
     name="haar",
     steps=(
@@ -176,17 +191,11 @@ HAAR = Wavelet(
         FloatLiftStep("s", left=0.0, right=0.5),
     ),
     int_steps=(
-        IntLiftStep("d", -1, 1, 0, 0),  # d -= (s + s) >> 0 is wrong; see note
+        IntLiftStep("d", -1, k=0, shift=0, wl=1, wr=0),
+        IntLiftStep("s", +1, k=0, shift=1, wl=0, wr=1),
     ),
     support=1,
 )
-
-# NOTE on HAAR.int_steps: the two-sided IntLiftStep machinery computes
-# (w*(l+r)+k)>>s with both neighbours; for Haar the left/right
-# neighbours of d[k] are s[k] and s[k+1], but the S-transform uses only
-# s[k].  The int path for Haar is therefore disabled (None) until the
-# integer engine grows one-sided steps.
-HAAR = dataclasses.replace(HAAR, int_steps=None)
 
 # --- Daubechies D4 ------------------------------------------------------------
 # Lifting factorization from /root/reference/examples/cores/cores-d4.c:27-56:

@@ -62,39 +62,62 @@ def merge(s: jax.Array, d: jax.Array, axis: int = -1) -> jax.Array:
 
 
 # ----------------------------------------------------- mirrored neighbourhoods
+#
+# ``border`` selects what a missing (virtual, out-of-signal) neighbour
+# contributes, reproducing the reference's three inverse border modes:
+#   'mirror' — whole-point symmetric duplication (the default;
+#              accel_lift_op4s_prolog_stride_s,
+#              /root/reference/src/libdwt.c:9591-9669: arr[0] += 2*b*arr[1])
+#   'hole'   — the virtual neighbour contributes 0 at every step
+#              (accel_lift_op4s_prolog_stride_hole_s,
+#              /root/reference/src/libdwt.c:9672-9751: arr[0] += b*(arr[1]+0))
+# The third mode, 'zero' (virtual zero samples that themselves lift,
+# /root/reference/src/libdwt.c:9753-9830), is realized in lift_inv by
+# zero-extending the channels and running with 'hole' at the far ends.
 
 
-def _d_neighbors(s: jax.Array, nh: int) -> Tuple[jax.Array, jax.Array]:
-    """(left, right) even-channel neighbours of each odd sample, mirrored."""
+def _d_neighbors(
+    s: jax.Array, nh: int, border: str = "mirror"
+) -> Tuple[jax.Array, jax.Array]:
+    """(left, right) even-channel neighbours of each odd sample."""
     nl = s.shape[-1]
     left = s[..., :nh]
     if nl > nh:  # odd N: every odd sample has a true right neighbour
         right = s[..., 1 : nh + 1]
-    else:  # even N: the last odd sample mirrors its left neighbour
-        right = jnp.concatenate([s[..., 1:], s[..., -1:]], axis=-1)
+    else:  # even N: the last odd sample's right neighbour is virtual
+        edge = jnp.zeros_like(s[..., -1:]) if border == "hole" else s[..., -1:]
+        right = jnp.concatenate([s[..., 1:], edge], axis=-1)
     return left, right
 
 
-def _s_neighbors(d: jax.Array, nl: int) -> Tuple[jax.Array, jax.Array]:
-    """(left, right) odd-channel neighbours of each even sample, mirrored."""
+def _s_neighbors(
+    d: jax.Array, nl: int, border: str = "mirror"
+) -> Tuple[jax.Array, jax.Array]:
+    """(left, right) odd-channel neighbours of each even sample."""
     nh = d.shape[-1]
-    left = jnp.concatenate([d[..., :1], d[..., : nl - 1]], axis=-1)
+    first = jnp.zeros_like(d[..., :1]) if border == "hole" else d[..., :1]
+    left = jnp.concatenate([first, d[..., : nl - 1]], axis=-1)
     if nl == nh:
         right = d
-    else:  # odd N: the last even sample mirrors its left neighbour
-        right = jnp.concatenate([d, d[..., -1:]], axis=-1)
+    else:  # odd N: the last even sample's right neighbour is virtual
+        edge = jnp.zeros_like(d[..., -1:]) if border == "hole" else d[..., -1:]
+        right = jnp.concatenate([d, edge], axis=-1)
     return left, right
 
 
 # ------------------------------------------------------------------ float path
 
 
-def _float_steps(s, d, wavelet: Wavelet, inverse: bool):
+def _float_steps(s, d, wavelet: Wavelet, inverse: bool, border: str = "mirror"):
     nl, nh = s.shape[-1], d.shape[-1]
     steps = wavelet.steps[::-1] if inverse else wavelet.steps
     sign = -1.0 if inverse else 1.0
     for step in steps:
-        l, r = _d_neighbors(s, nh) if step.target == "d" else _s_neighbors(d, nl)
+        l, r = (
+            _d_neighbors(s, nh, border)
+            if step.target == "d"
+            else _s_neighbors(d, nl, border)
+        )
         if step.is_symmetric:
             # fused c*(l+r) matches the reference's float rounding
             upd = jnp.asarray(sign * step.coeff, s.dtype) * (l + r)
@@ -110,7 +133,7 @@ def _float_steps(s, d, wavelet: Wavelet, inverse: bool):
     return s, d
 
 
-def _int_steps(s, d, wavelet: Wavelet, inverse: bool):
+def _int_steps(s, d, wavelet: Wavelet, inverse: bool, border: str = "mirror"):
     if wavelet.int_steps is None:
         raise ValueError(f"wavelet {wavelet.name} has no reversible integer path")
     nl, nh = s.shape[-1], d.shape[-1]
@@ -118,13 +141,15 @@ def _int_steps(s, d, wavelet: Wavelet, inverse: bool):
     for step in steps:
         sign = -step.sign if inverse else step.sign
         if step.target == "d":
-            l, r = _d_neighbors(s, nh)
+            l, r = _d_neighbors(s, nh, border)
         else:
-            l, r = _s_neighbors(d, nl)
-        # C-exact: (w*(l+r) + k) >> shift with arithmetic shift
-        # (/root/reference/src/libdwt.c:10918-10943, 10964-10981).
+            l, r = _s_neighbors(d, nl, border)
+        # C-exact: (wl*l + wr*r + k) >> shift with arithmetic shift
+        # (/root/reference/src/libdwt.c:10918-10943, 10964-10981; one-sided
+        # Haar weights /root/reference/examples/cores/cores-haar.c:10-31).
+        wl, wr = step.weights
         v = jax.lax.shift_right_arithmetic(
-            step.w * (l + r) + step.k, jnp.asarray(step.shift, dtype=s.dtype)
+            wl * l + wr * r + step.k, jnp.asarray(step.shift, dtype=s.dtype)
         )
         if step.target == "d":
             d = d + sign * v
@@ -174,10 +199,30 @@ def lift_fwd(
 
 
 def lift_inv(
-    low: jax.Array, high: jax.Array, wavelet="cdf97", axis: int = -1
+    low: jax.Array,
+    high: jax.Array,
+    wavelet="cdf97",
+    axis: int = -1,
+    border: str = "mirror",
 ) -> jax.Array:
     """Inverse of :func:`lift_fwd` (semantics of dwt_cdf97_i_ex_stride_d,
-    /root/reference/src/libdwt.c:11424-11483)."""
+    /root/reference/src/libdwt.c:11424-11483).
+
+    ``border`` selects the virtual-sample semantics at the signal ends,
+    matching the reference's three inverse families used for sparse
+    reconstruction (/root/reference/src/libdwt.h:909-922):
+
+      'mirror' — whole-point symmetric extension (dwt_*_2i_inplace_s)
+      'hole'   — virtual neighbours contribute 0 at every lifting step
+                 (dwt_cdf97_2i_inplace_hole_s)
+      'zero'   — the signal is zero-extended and the virtual samples
+                 themselves lift (dwt_cdf97_2i_inplace_zero_s); realized
+                 by extending each channel with len(steps) zeros, which
+                 strictly contains the reference's carried virtual pair
+                 (/root/reference/src/libdwt.c:9770-9830).
+    """
+    if border not in ("mirror", "hole", "zero"):
+        raise ValueError("border must be 'mirror', 'hole' or 'zero'")
     wavelet = get_wavelet(wavelet)
     s = jnp.moveaxis(low, axis, -1)
     d = jnp.moveaxis(high, axis, -1)
@@ -194,15 +239,30 @@ def lift_inv(
             x = s * jnp.asarray(inv_s if inv_s is not None else 1.0, s.dtype)
         return jnp.moveaxis(x, -1, axis)
 
+    ext = 0
+    if border == "zero":
+        # Zero-extension: pad both channels, lift with zero-contributing
+        # far ends, crop the virtual signal samples afterwards.  The
+        # error of truncating the virtual tail at depth ``ext`` cannot
+        # reach real samples: each step moves edge effects inward by one
+        # channel position and there are only len(steps) steps.
+        ext = len(wavelet.int_steps if is_int else wavelet.steps)
+        zpad = [(0, 0)] * (s.ndim - 1) + [(ext, ext)]
+        s = jnp.pad(s, zpad)
+        d = jnp.pad(d, zpad)
+        border = "hole"
+
     if is_int:
-        s, d = _int_steps(s, d, wavelet, inverse=True)
+        s, d = _int_steps(s, d, wavelet, inverse=True, border=border)
     else:
         if wavelet.scale_s is not None:
             inv_s = wavelet.inv_scale_s if wavelet.inv_scale_s is not None else wavelet.scale_d
             inv_d = wavelet.inv_scale_d if wavelet.inv_scale_d is not None else wavelet.scale_s
             s = s * jnp.asarray(inv_s, s.dtype)
             d = d * jnp.asarray(inv_d, d.dtype)
-        s, d = _float_steps(s, d, wavelet, inverse=True)
+        s, d = _float_steps(s, d, wavelet, inverse=True, border=border)
 
     x = merge(s, d, axis=-1)
+    if ext:
+        x = x[..., 2 * ext : 2 * ext + n]
     return jnp.moveaxis(x, -1, axis)

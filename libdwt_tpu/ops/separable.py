@@ -51,9 +51,11 @@ def dwt1(x, wavelet="cdf97", axis=-1):
     return lift_fwd(x, wavelet, axis=axis)
 
 
-def idwt1(low, high, wavelet="cdf97", axis=-1):
-    """Single-level 1-D inverse transform."""
-    return lift_inv(low, high, wavelet, axis=axis)
+def idwt1(low, high, wavelet="cdf97", axis=-1, border="mirror"):
+    """Single-level 1-D inverse transform.  ``border`` selects the
+    virtual-sample mode for sparse reconstruction ('mirror'/'hole'/
+    'zero', see :func:`libdwt_tpu.ops.lifting.lift_inv`)."""
+    return lift_inv(low, high, wavelet, axis=axis, border=border)
 
 
 def dwt2_level(x, wavelet="cdf97"):
@@ -69,11 +71,14 @@ def dwt2_level(x, wavelet="cdf97"):
     return ll, hl, lh, hh
 
 
-def idwt2_level(ll, hl, lh, hh, wavelet="cdf97"):
-    """Inverse of :func:`dwt2_level`."""
-    l = lift_inv(ll, lh, wavelet, axis=-2)
-    h = lift_inv(hl, hh, wavelet, axis=-2)
-    return lift_inv(l, h, wavelet, axis=-1)
+def idwt2_level(ll, hl, lh, hh, wavelet="cdf97", border="mirror"):
+    """Inverse of :func:`dwt2_level`.  ``border`` gives the sparse-
+    reconstruction variants: 'hole' = dwt_cdf97_2i_inplace_hole_s,
+    'zero' = dwt_cdf97_2i_inplace_zero_s
+    (/root/reference/src/libdwt.h:909-933)."""
+    l = lift_inv(ll, lh, wavelet, axis=-2, border=border)
+    h = lift_inv(hl, hh, wavelet, axis=-2, border=border)
+    return lift_inv(l, h, wavelet, axis=-1, border=border)
 
 
 def dwt3_level(x, wavelet="cdf97"):
@@ -138,10 +143,10 @@ def wavedec2(x, wavelet="cdf97", level: Optional[int] = None):
     return [ll] + coeffs[::-1]
 
 
-def waverec2(coeffs, wavelet="cdf97"):
+def waverec2(coeffs, wavelet="cdf97", border="mirror"):
     ll = coeffs[0]
     for hl, lh, hh in coeffs[1:]:
-        ll = idwt2_level(ll, hl, lh, hh, wavelet)
+        ll = idwt2_level(ll, hl, lh, hh, wavelet, border=border)
     return ll
 
 

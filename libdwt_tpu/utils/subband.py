@@ -101,3 +101,32 @@ def count_subbands(size_y: int, size_x: int, j_max: int) -> int:
     if (ry.stop - ry.start) > 0 and (rx.stop - rx.start) > 0:
         count += 1
     return count
+
+
+def zero_padding_f(dst_l, dst_h, n: int, axis: int = -1):
+    """Zero the padding tails of L/H channel arrays after a forward
+    decomposition of an ``n``-sample signal: L keeps ceil(n/2) valid
+    samples, H keeps floor(n/2); everything beyond along ``axis`` is set
+    to zero.  Analogue of ``dwt_zero_padding_f[_stride]_{s,d,i}``
+    (/root/reference/src/libdwt.h:412-524) for the sparse array
+    geometry where channels are allocated larger than the data.
+    """
+    import jax.numpy as jnp
+
+    def tail_zero(a, keep):
+        ids = jnp.arange(a.shape[axis])
+        shape = [1] * a.ndim
+        shape[axis if axis >= 0 else a.ndim + axis] = a.shape[axis]
+        mask = (ids < keep).reshape(shape)
+        return jnp.where(mask, a, jnp.zeros((), a.dtype))
+
+    return tail_zero(dst_l, ceil_div2(n)), tail_zero(dst_h, floor_div2(n))
+
+
+def zero_padding_i(dst_l, n: int, axis: int = -1):
+    """Zero the padding tail of a composed L channel after a
+    reconstruction step that produced ``n`` valid samples.  Analogue of
+    ``dwt_zero_padding_i[_stride]_{s,d}``
+    (/root/reference/src/libdwt.h:478-524)."""
+    l, _ = zero_padding_f(dst_l, dst_l, 2 * n, axis=axis)
+    return l

@@ -83,6 +83,57 @@ def test_haar_fused_matches_oracle():
     np.testing.assert_allclose(np.asarray(rec), np.asarray(recw), atol=2e-5, rtol=0)
 
 
+@pytest.mark.parametrize("n", SIZES)
+def test_haar_int_matches_s_transform(n):
+    """Reversible S-transform loop formulas: d[k] = x[2k+1] - x[2k];
+    s[k] = x[2k] + (d[k] >> 1) (floor shift), the integer analogue of
+    /root/reference/examples/cores/cores-haar.c:10-31."""
+    rng = np.random.RandomState(n)
+    x = rng.randint(-1000, 1000, n).astype(np.int32)
+    lo, hi = dwt1(jnp.asarray(x), "haar")
+    nl, nh = -(-n // 2), n // 2
+    d_want = np.empty(nh, np.int64)
+    s_want = np.empty(nl, np.int64)
+    for k in range(nh):
+        d_want[k] = x[2 * k + 1] - x[2 * k]
+    for k in range(nl):
+        # mirrored neighbour for the last odd-n even sample: d[nl-1] -> d[nh-1]
+        dk = d_want[min(k, nh - 1)] if nh else 0
+        s_want[k] = x[2 * k] + (dk >> 1)
+    np.testing.assert_array_equal(np.asarray(hi, np.int64), d_want)
+    np.testing.assert_array_equal(np.asarray(lo, np.int64), s_want)
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_haar_int_roundtrip_exact(n):
+    rng = np.random.RandomState(100 + n)
+    x = jnp.asarray(rng.randint(-(2**20), 2**20, n).astype(np.int32))
+    lo, hi = dwt1(x, "haar")
+    rec = idwt1(lo, hi, "haar")
+    assert rec.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(x))
+
+
+def test_haar_int_2d_multilevel_exact():
+    x = jnp.asarray(make_test_image(48, 33, dtype=np.int32))
+    c = wavedec2(x, "haar", 3)
+    rec = waverec2(c, "haar")
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(x))
+
+
+def test_haar_int_fused_bit_exact():
+    """The fused Pallas path must reproduce the oracle's S-transform
+    bit-exactly (one-sided int steps on the interleaved layout)."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randint(-(2**20), 2**20, (64, 64)).astype(np.int32))
+    want = dwt2_level(x, "haar")
+    got = fused_dwt2_level(x, "haar", strip_rows=32, interpret=True)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    rec = fused_idwt2_level(*got, "haar", strip_rows=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(x))
+
+
 def test_d4_fused_rejected():
     """Asymmetric-step wavelets must be routed to the oracle."""
     x = jnp.asarray(make_test_image(64, 64, dtype=np.float32))

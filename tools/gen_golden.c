@@ -296,6 +296,59 @@ static void gen_2d_int(int ny, int nx, int j)
     free(img);
 }
 
+/* Sparse-reconstruction parity: in-place forward, then the three
+ * inverse border families (plain/mirror, hole, zero;
+ * libdwt.h:889-933) on (a) the full coefficient set and (b) an
+ * LL-only set with every detail coefficient zeroed. */
+static void gen_2d_sparse(int ny, int nx, int j)
+{
+    char name[128];
+    const int stride_y = sizeof(float);
+    const int stride_x = nx * sizeof(float);
+    float *img = malloc((size_t)ny * nx * sizeof(float));
+    float *coef = malloc((size_t)ny * nx * sizeof(float));
+    float *work = malloc((size_t)ny * nx * sizeof(float));
+
+    dwt_util_test_image_fill_s(img, stride_x, stride_y, nx, ny, 0);
+    memcpy(coef, img, (size_t)ny * nx * sizeof(float));
+    int jj = j;
+    dwt_cdf97_2f_inplace_s(coef, stride_x, stride_y, nx, ny, nx, ny, &jj, 0, 0);
+    snprintf(name, sizeof name, "sparse_src_f32_%dx%d_j%d", ny, nx, j);
+    dump(name, "f32", ny, nx, img, 4);
+
+    for (int llonly = 0; llonly < 2; llonly++) {
+        float *set = malloc((size_t)ny * nx * sizeof(float));
+        memcpy(set, coef, (size_t)ny * nx * sizeof(float));
+        if (llonly) { /* keep only the deepest LL (interleaved layout) */
+            int step = 1 << jj;
+            for (int y = 0; y < ny; y++)
+                for (int x = 0; x < nx; x++)
+                    if (y % step || x % step)
+                        set[y * nx + x] = 0.f;
+        }
+        const char *tag = llonly ? "llonly" : "full";
+
+        memcpy(work, set, (size_t)ny * nx * sizeof(float));
+        dwt_cdf97_2i_inplace_s(work, stride_x, stride_y, nx, ny, nx, ny, jj, 0, 0);
+        snprintf(name, sizeof name, "sparse_mirror_%s_f32_%dx%d_j%d", tag, ny, nx, j);
+        dump(name, "f32", ny, nx, work, 4);
+
+        memcpy(work, set, (size_t)ny * nx * sizeof(float));
+        dwt_cdf97_2i_inplace_hole_s(work, stride_x, stride_y, nx, ny, nx, ny, jj, 0, 0);
+        snprintf(name, sizeof name, "sparse_hole_%s_f32_%dx%d_j%d", tag, ny, nx, j);
+        dump(name, "f32", ny, nx, work, 4);
+
+        memcpy(work, set, (size_t)ny * nx * sizeof(float));
+        dwt_cdf97_2i_inplace_zero_s(work, stride_x, stride_y, nx, ny, nx, ny, jj, 0, 0);
+        snprintf(name, sizeof name, "sparse_zero_%s_f32_%dx%d_j%d", tag, ny, nx, j);
+        dump(name, "f32", ny, nx, work, 4);
+        free(set);
+    }
+    free(img);
+    free(coef);
+    free(work);
+}
+
 int main(void)
 {
     dwt_util_init();
@@ -321,6 +374,9 @@ int main(void)
     gen_2d_int(16, 16, 3);
     gen_2d_int(17, 13, 2);
     gen_2d_int(32, 32, 5);
+    gen_2d_sparse(32, 32, 2);
+    gen_2d_sparse(16, 16, 2);
+    gen_2d_sparse(64, 48, 3);
 
     int sizes_eaw[] = {8, 15, 16, 17, 64, 100};
     for (unsigned i = 0; i < sizeof(sizes_eaw) / sizeof(int); i++) {
