@@ -82,7 +82,34 @@ def _parity_mask(shape, axis, want_odd):
     return (par == 1) if want_odd else (par == 0)
 
 
-def _lift_interleaved(t, wavelet: Wavelet, axis: int, inverse: bool):
+def _neighbors(t, axis: int, edges):
+    """(left, right) interleaved-signal neighbours along ``axis``.
+
+    ``edges = (fix_low, fix_high)``: where True, the out-of-signal
+    neighbour produced by the wrap-around roll is replaced with the
+    whole-point mirror value (x[-1] = x[1]; x[L] = x[L-2]) — the exact
+    virt2real semantics (/root/reference/src/dwt-sym.c:434-450) applied
+    in-kernel, for FREE, instead of via host-side reflect padding: the
+    mirror of the edge sample's missing neighbour is just the OTHER
+    roll's value at that position.  Valid for both even and odd L.
+    """
+    nl = jnp.roll(t, 1, axis)
+    nr = jnp.roll(t, -1, axis)
+    fix_low, fix_high = edges
+    if fix_low or fix_high:
+        ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, dimension=axis)
+        out_l, out_r = nl, nr
+        if fix_low:
+            out_l = jnp.where(ids == 0, nr, nl)
+        if fix_high:
+            out_r = jnp.where(ids == t.shape[axis] - 1, nl, nr)
+        nl, nr = out_l, out_r
+    return nl, nr
+
+
+def _lift_interleaved(
+    t, wavelet: Wavelet, axis: int, inverse: bool, edges=(False, False)
+):
     """All lifting steps of ``wavelet`` along ``axis`` on interleaved data."""
     is_int = jnp.issubdtype(t.dtype, jnp.integer)
     if is_int:
@@ -93,9 +120,10 @@ def _lift_interleaved(t, wavelet: Wavelet, axis: int, inverse: bool):
             steps = steps[::-1]
         for st in steps:
             sign = -st.sign if inverse else st.sign
-            nsum = jnp.roll(t, 1, axis) + jnp.roll(t, -1, axis)
+            wl, wr = st.weights
+            l, r = _neighbors(t, axis, edges)
             v = jax.lax.shift_right_arithmetic(
-                st.w * nsum + st.k, jnp.asarray(st.shift, t.dtype)
+                wl * l + wr * r + st.k, jnp.asarray(st.shift, t.dtype)
             )
             upd = t + sign * v
             t = jnp.where(_parity_mask(t.shape, axis, st.target == "d"), upd, t)
@@ -103,12 +131,12 @@ def _lift_interleaved(t, wavelet: Wavelet, axis: int, inverse: bool):
         steps = wavelet.steps[::-1] if inverse else wavelet.steps
         sgn = -1.0 if inverse else 1.0
         for st in steps:
+            l, r = _neighbors(t, axis, edges)
             if st.is_symmetric:
-                c = jnp.asarray(sgn * st.coeff, t.dtype)
-                delta = c * (jnp.roll(t, 1, axis) + jnp.roll(t, -1, axis))
+                delta = jnp.asarray(sgn * st.coeff, t.dtype) * (l + r)
             else:
-                delta = jnp.asarray(sgn * st.left, t.dtype) * jnp.roll(t, 1, axis) \
-                    + jnp.asarray(sgn * st.right, t.dtype) * jnp.roll(t, -1, axis)
+                delta = jnp.asarray(sgn * st.left, t.dtype) * l \
+                    + jnp.asarray(sgn * st.right, t.dtype) * r
             upd = t + delta
             t = jnp.where(_parity_mask(t.shape, axis, st.target == "d"), upd, t)
     return t
@@ -213,6 +241,39 @@ def _fwd_kernel(x_ref, ll_ref, hl_ref, lh_ref, hh_ref, *, wavelet, ty, wc):
     hh_ref[:] = hhT.T
 
 
+#: row halo of the PAD-FREE single-level forward windows (>= HALO, and
+#: a multiple of 8 so clamped window starts stay provably aligned).
+HALOR1 = 8
+
+
+def _fwd_kernel_pf(x_ref, ll_ref, hl_ref, lh_ref, hh_ref,
+                   *, wavelet, ty, wc, er, ny):
+    """Pad-free single-level forward body: windows read straight from
+    the unpadded image (clamped starts + high element padding); column
+    borders via the in-step mirror, row borders materialized in VMEM
+    for the edge strips only."""
+    t = x_ref[:]
+    pid = pl.program_id(0)
+    t = jnp.where(pid == 0, jnp.roll(t, HALOR1, axis=0), t)
+    t = jnp.where(pid == 0, _mirror_head_sub(t, HALOR1, HALO), t)
+    t = jnp.where(pid == ny - 1, _mirror_tail_sub(t, er, HALO), t)
+    if ny >= 2 and er < 2 * HALOR1:
+        # a short last strip means the PENULTIMATE strip's window also
+        # crosses the image end; mirror-fill it at its own edge row
+        t = jnp.where(pid == ny - 2, _mirror_tail_sub(t, er + ty, HALO), t)
+    t = _lift_interleaved(t, wavelet, axis=1, inverse=False, edges=(True, True))
+    t = _lift_interleaved(t, wavelet, axis=0, inverse=False)
+    t = _scale_interleaved(t, wavelet, inverse=False)
+    c = HALOR1 // 2
+    a, b = _deint_sub(t)
+    llT, hlT = _deint_sub(a.T)
+    lhT, hhT = _deint_sub(b.T)
+    ll_ref[:] = llT.T[c : c + ty // 2, :]
+    hl_ref[:] = hlT.T[c : c + ty // 2, :]
+    lh_ref[:] = lhT.T[c : c + ty // 2, :]
+    hh_ref[:] = hhT.T[c : c + ty // 2, :]
+
+
 @functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret", "boundary_rows"))
 def fused_dwt2_level(
     x: jax.Array,
@@ -247,6 +308,45 @@ def fused_dwt2_level(
         h, w = x.shape
     if min(h, w) <= HALO:
         raise ValueError("image too small for the fused kernel; use the oracle")
+
+    if boundary_rows == "mirror" and h % 2 == 0 and w % 2 == 0:
+        # fast path: pad-free windows straight from the unpadded image
+        ty = strip_rows or _pick_strip_rows(w, x.dtype.itemsize, inverse=False)
+        ty = max(16, (ty // 16) * 16)
+        if h <= ty:
+            ty = ((h + 15) // 16) * 16
+        ny = pl.cdiv(h, ty)
+
+        def idx(i):
+            return (pl.multiple_of(jnp.maximum(i * ty - HALOR1, 0), 8), 0)
+
+        pad_hi = max(ny * ty + HALOR1, ty + 2 * HALOR1) - h
+        xp = x
+        if interpret:
+            xp = jnp.pad(x, ((0, pad_hi), (0, 0)))
+            pad_hi = 0
+        in_spec = pl.BlockSpec(
+            (pl.Element(ty + 2 * HALOR1, (0, pad_hi)), pl.Element(w, (0, 0))),
+            idx,
+            memory_space=pltpu.VMEM,
+        )
+        hy, hx = ty // 2, w // 2
+        out_sd = jax.ShapeDtypeStruct((ny * hy, hx), x.dtype)
+        out_spec = pl.BlockSpec((hy, hx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        er = h - 1 - (ny - 1) * ty + HALOR1
+        kernel = functools.partial(
+            _fwd_kernel_pf, wavelet=wavelet, ty=ty, wc=w, er=er, ny=ny
+        )
+        ll, hl, lh, hh = pl.pallas_call(
+            kernel,
+            grid=(ny,),
+            in_specs=[in_spec],
+            out_specs=(out_spec, out_spec, out_spec, out_spec),
+            out_shape=(out_sd, out_sd, out_sd, out_sd),
+            interpret=interpret,
+        )(xp)
+        cy = h // 2
+        return ll[:cy], hl[:cy], lh[:cy], hh[:cy]
 
     wc = _even(w)
     he = _even(h)
@@ -319,8 +419,10 @@ def _split_bands(t):
 def _mirror_tail_sub(a, edge: int, count: int):
     """Whole-point mirror of sublanes past ``edge``: rows edge+1..edge+count
     become rows edge-1..edge-count; anything beyond is zeroed.  Static
-    slices + concat only (no reversal primitive needed)."""
+    slices + concat only (no reversal primitive needed).  ``count`` is
+    clamped to the rows available past ``edge``."""
     L = a.shape[0]
+    count = max(0, min(count, L - 1 - edge))
     parts = [a[: edge + 1]]
     for m in range(1, count + 1):
         parts.append(a[edge - m : edge - m + 1])
@@ -330,41 +432,90 @@ def _mirror_tail_sub(a, edge: int, count: int):
     return jnp.concatenate(parts, axis=0)
 
 
+#: row halo of the PAD-FREE multi-scale kernel: >= HALO2 and a multiple
+#: of 8 so window starts i*ty - HALOR stay provably 8-aligned.
+HALOR = 16
+
+
+def _mirror_head_sub(a, center: int, count: int):
+    """Whole-point mirror of sublanes above ``center``: rows center-m
+    become rows center+m for m=1..count; rows below center-count are
+    kept (they are outside any halo and never read)."""
+    parts = [a[: center - count]]
+    for m in range(count, 0, -1):
+        parts.append(a[center + m : center + m + 1])
+    parts.append(a[center:])
+    return jnp.concatenate(parts, axis=0)
+
+
 def _2lvl_kernel(x_ref, ll2_ref, hl2_ref, lh2_ref, hh2_ref,
-                 hl1_ref, lh1_ref, hh1_ref, *, wavelet, ty, wc, er, ny):
+                 hl1_ref, lh1_ref, hh1_ref, *, wavelet, ty, wc, er, er_ll, ny):
+    """Pad-free multi-scale kernel body.
+
+    The window is (ty + 2*HALOR, wc) read straight from the UNPADDED
+    image (element windows with padding bounds; the first/last strips'
+    out-of-image rows are garbage).  Column borders use the in-step
+    mirror of :func:`_neighbors` — no column halo at all; row borders
+    are materialized in VMEM for the edge strips only.  Compared to the
+    host-reflect-pad design this removes one full read+write of the
+    frame from HBM traffic.
+    """
     t = x_ref[:]
-    # ---- level 0 over the whole window (ty+24, wc+24)
-    t = _lift_level(t, wavelet)
-    c = HALO2 // 2  # 6 channel-domain halo
+    pid = pl.program_id(0)
+    # ---- first strip: its window start was clamped from -HALOR to 0
+    # (Mosaic supports only HIGH element-window padding), so image row 0
+    # sits at window row 0 instead of HALOR; a constant roll normalizes
+    # the layout (the wrapped-in top rows are overwritten/ignored below).
+    t = jnp.where(pid == 0, jnp.roll(t, HALOR, axis=0), t)
+    # ---- edge strips: build the symmetric row extension in VMEM.
+    # Top (first strip): rows HALOR-m := HALOR+m for m=1..HALO2 (the
+    # remaining HALOR-HALO2 rows stay garbage; lifting contamination
+    # from them never reaches a kept output row).
+    t = jnp.where(pid == 0, _mirror_head_sub(t, HALOR, HALO2), t)
+    # Bottom (last strip): rows er+m := er-m, zeros beyond.
+    t = jnp.where(pid == ny - 1, _mirror_tail_sub(t, er, HALO2), t)
+    if ny >= 2 and er < 2 * HALOR:
+        # short last strip: the penultimate window also crosses the end
+        t = jnp.where(pid == ny - 2, _mirror_tail_sub(t, er + ty, HALO2), t)
+
+    # ---- level 0: columns mirror in-step (exact whole-point border),
+    # rows rely on the halo.
+    t = _lift_interleaved(t, wavelet, axis=1, inverse=False, edges=(True, True))
+    t = _lift_interleaved(t, wavelet, axis=0, inverse=False)
+    t = _scale_interleaved(t, wavelet, inverse=False)
+    c = HALOR // 2  # 8: channel-domain row halo
     a, b = _deint_sub(t)
     llT, hlT = _deint_sub(a.T)
     lhT, hhT = _deint_sub(b.T)
-    hl1_ref[:] = hlT.T[c : c + ty // 2, c : c + wc // 2]
-    lh1_ref[:] = lhT.T[c : c + ty // 2, c : c + wc // 2]
-    hh1_ref[:] = hhT.T[c : c + ty // 2, c : c + wc // 2]
+    hl1_ref[:] = hlT.T[c : c + ty // 2, :]
+    lh1_ref[:] = lhT.T[c : c + ty // 2, :]
+    hh1_ref[:] = hhT.T[c : c + ty // 2, :]
 
-    # ---- level-1 border fixup: the signal-domain bottom/right mirror
-    # induces a HALF-point mirror on the low channel (s[N+m] = s[N-1-m]),
-    # but the oracle extends the level-1 input whole-point around its
-    # last sample (s[N-1+m] = s[N-1-m]).  Rewrite the LL halo past the
-    # image edge with the whole-point mirror.  The top/left halos need
-    # no fix (x[-k] = x[k] already induces s[-m] = s[m]).
-    ex = wc // 2 + c - 1  # window-lane coord of the last valid LL column
-    llT = _mirror_tail_sub(llT, ex, c)  # right edge: every strip
-    ll = llT.T
-    fixed = _mirror_tail_sub(ll, er, c)  # bottom edge: last strip only
-    is_last = pl.program_id(0) == ny - 1
-    ll = jnp.where(is_last, fixed, ll)
+    # ---- level-1 bottom fixup: the signal-domain bottom mirror induces
+    # a HALF-point mirror on the low channel (s[N+m] = s[N-1-m]), but
+    # the oracle extends the level-1 input whole-point around its last
+    # sample (s[N-1+m] = s[N-1-m]).  Rewrite the LL rows past the image
+    # edge accordingly (last strip only).  The top halo needs no fix
+    # (x[-k] = x[k] already induces s[-m] = s[m]), and columns are
+    # handled exactly by the in-step mirror at the true LL width.
+    ll = llT.T  # (ty/2 + HALOR, wc/2)
+    fixed = _mirror_tail_sub(ll, er_ll, HALO2 // 2)
+    ll = jnp.where(pid == ny - 1, fixed, ll)
+    if ny >= 2 and er_ll < 2 * (HALOR // 2):
+        fixed2 = _mirror_tail_sub(ll, er_ll + ty // 2, HALO2 // 2)
+        ll = jnp.where(pid == ny - 2, fixed2, ll)
 
-    # ---- level 1 on the LL window (its 6-sample halo absorbs the
-    # 4-sample lifting contamination + level-0's 2 invalid edge rows)
-    t2 = _lift_level(ll, wavelet)
-    ll2, hl2, lh2, hh2 = _split_bands(t2)  # (ty/4+6, wc/4+6)
-    c2 = c // 2  # 3
-    ll2_ref[:] = ll2[c2 : c2 + ty // 4, c2 : c2 + wc // 4]
-    hl2_ref[:] = hl2[c2 : c2 + ty // 4, c2 : c2 + wc // 4]
-    lh2_ref[:] = lh2[c2 : c2 + ty // 4, c2 : c2 + wc // 4]
-    hh2_ref[:] = hh2[c2 : c2 + ty // 4, c2 : c2 + wc // 4]
+    # ---- level 1 (needs 4 valid LL rows around the kept strip; the
+    # 8-row halo absorbs that plus level-0's contaminated edge rows)
+    t2 = _lift_interleaved(ll, wavelet, axis=1, inverse=False, edges=(True, True))
+    t2 = _lift_interleaved(t2, wavelet, axis=0, inverse=False)
+    t2 = _scale_interleaved(t2, wavelet, inverse=False)
+    ll2, hl2, lh2, hh2 = _split_bands(t2)  # (ty/4 + 8, wc/4)
+    c2 = c // 2  # 4
+    ll2_ref[:] = ll2[c2 : c2 + ty // 4, :]
+    hl2_ref[:] = hl2[c2 : c2 + ty // 4, :]
+    lh2_ref[:] = lh2[c2 : c2 + ty // 4, :]
+    hh2_ref[:] = hh2[c2 : c2 + ty // 4, :]
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret"))
@@ -377,8 +528,9 @@ def fused_dwt2_2level(
     """TWO decomposition levels in one pass over the image — the
     multi-scale fused single-loop of /root/reference/src/dwt-sym-ms.c
     (ms_cdf97_2f_dl_4x4_fused_s, dwt-sym-ms.h:24-50) re-designed for
-    VMEM strips: each pixel is read from HBM once for both levels,
-    cutting pyramid traffic ~25%.
+    VMEM strips: each pixel is read from HBM once (plus the strip halo)
+    for both levels, and — unlike a host-padded design — never copied
+    into a padded staging buffer first.
 
     Returns (LL2, (HL2, LH2, HH2), (HL1, LH1, HH1)).  Requires
     h % 4 == 0, w % 4 == 0 and a symmetric-step wavelet.
@@ -392,25 +544,36 @@ def fused_dwt2_2level(
         raise ValueError("image too small for the 2-level fused kernel")
 
     wc = w
-    bytes_per_row = (wc + 2 * HALO2) * x.dtype.itemsize
-    # ~64-row strips win on v5e for 4K frames (85us vs 114us at 96+
-    # rows): more strips pipeline the DMA better — but never below 64,
-    # where the 24-row halo share starts dominating the reads.
-    ty = strip_rows or max(
-        64, min(512, ((1024 * 1024 // bytes_per_row) // 32) * 32)
-    )
-    # multi-strip alignment: window start i*ty and size ty+24 are 8-aligned
-    # for ty % 32 == 0; out blocks ty/2 and ty/4 are 8-aligned too.
+    # ~96-row strips balance DMA pipelining against the halo re-read
+    # share (window ty + 32 rows per ty-row strip).
+    ty = strip_rows or 96
+    # alignment: ty % 32 == 0 makes window starts (i*ty - 16) and all
+    # out blocks (ty/2, ty/4) provably 8-aligned.
+    if ty % 32:
+        raise ValueError("strip_rows must be a multiple of 32")
     if h <= ty:
-        ty = h
-        if ty % 4:
-            raise ValueError("unreachable: h % 4 checked above")
+        ty = ((h + 31) // 32) * 32
     ny = pl.cdiv(h, ty)
 
-    xp = jnp.pad(x, ((HALO2, HALO2), (HALO2, HALO2)), mode="reflect")
-    xp = jnp.pad(
-        xp,
-        ((0, ny * ty + 2 * HALO2 - xp.shape[0]), (0, 0)),
+    # Window starts are clamped to 0 in the index map (Mosaic supports
+    # only HIGH element-window padding; the kernel roll-normalizes the
+    # first strip).  Both clamp branches are provably 8-aligned.
+    def idx(i):
+        return (pl.multiple_of(jnp.maximum(i * ty - HALOR, 0), 8), 0)
+
+    pad_hi = max(ny * ty + HALOR, ty + 2 * HALOR) - h
+    if interpret:
+        # Interpret resolves windows with clamping dynamic slices whose
+        # end-clamp would silently shift the last strip; emulate the
+        # high padding bound with a real zero pad instead.
+        xp = jnp.pad(x, ((0, pad_hi), (0, 0)))
+        pad_hi = 0
+    else:
+        xp = x
+    in_spec = pl.BlockSpec(
+        (pl.Element(ty + 2 * HALOR, (0, pad_hi)), pl.Element(wc, (0, 0))),
+        idx,
+        memory_space=pltpu.VMEM,
     )
 
     q2y, q2x = ty // 2, wc // 2
@@ -419,21 +582,17 @@ def fused_dwt2_2level(
     sd4 = jax.ShapeDtypeStruct((ny * q4y, q4x), x.dtype)
     spec2 = pl.BlockSpec((q2y, q2x), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec4 = pl.BlockSpec((q4y, q4x), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    # window-row coord of the image's last LL row within the LAST strip
-    er = h // 2 - 1 - (ny - 1) * (ty // 2) + HALO2 // 2
+    # window-row coords of the image's last valid row / LL row in the
+    # LAST strip's window
+    er = h - 1 - (ny - 1) * ty + HALOR
+    er_ll = h // 2 - 1 - (ny - 1) * (ty // 2) + HALOR // 2
     kernel = functools.partial(
-        _2lvl_kernel, wavelet=wavelet, ty=ty, wc=wc, er=er, ny=ny
+        _2lvl_kernel, wavelet=wavelet, ty=ty, wc=wc, er=er, er_ll=er_ll, ny=ny
     )
     ll2, hl2, lh2, hh2, hl1, lh1, hh1 = pl.pallas_call(
         kernel,
         grid=(ny,),
-        in_specs=[
-            pl.BlockSpec(
-                (pl.Element(ty + 2 * HALO2, (0, 0)), pl.Element(wc + 2 * HALO2, (0, 0))),
-                lambda i: (pl.multiple_of(i * ty, 8), 0),
-                memory_space=pltpu.VMEM,
-            )
-        ],
+        in_specs=[in_spec],
         out_specs=(spec4, spec4, spec4, spec4, spec2, spec2, spec2),
         out_shape=(sd4, sd4, sd4, sd4, sd2, sd2, sd2),
         interpret=interpret,
@@ -538,18 +697,33 @@ def _pad_channel_mirror(c, n: int, is_low: bool, axis: int):
     return jnp.moveaxis(out, 0, axis)
 
 
-@functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "wavelet", "strip_rows", "interpret", "boundary_rows"))
 def fused_idwt2_level(
     ll, hl, lh, hh,
     wavelet="cdf97",
     strip_rows: int = 0,
     interpret: bool = False,
+    boundary_rows: str = "mirror",
 ) -> jax.Array:
-    """Single-level fused 2-D inverse DWT (inverse of fused_dwt2_level)."""
+    """Single-level fused 2-D inverse DWT (inverse of fused_dwt2_level).
+
+    ``boundary_rows='extended'`` means the caller already supplied CH
+    valid channel rows above and below every band (the sharded path's
+    halo-exchange case, with the same CH=4) — no row-direction channel
+    mirror is applied; columns still mirror.
+    """
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
+    if boundary_rows not in ("mirror", "extended"):
+        raise ValueError("boundary_rows must be 'mirror' or 'extended'")
+    extended = boundary_rows == "extended"
     cy, cx = ll.shape[-2], ll.shape[-1]
-    fy, fx = hh.shape[-2], hh.shape[-1]
+    if extended:
+        cy -= 2 * CH
+        fy, fx = hh.shape[-2] - 2 * CH, hh.shape[-1]
+    else:
+        fy, fx = hh.shape[-2], hh.shape[-1]
     h, w = cy + fy, cx + fx
     if min(h, w) < 2 * (CH + 1):  # channel mirror needs CH+1 samples
         raise ValueError("image too small for the fused kernel; use the oracle")
@@ -566,7 +740,8 @@ def fused_idwt2_level(
     hy, hx = ty // 2, wc // 2
 
     def prep(band, low_y, low_x):
-        band = _pad_channel_mirror(band, h, low_y, axis=0)
+        if not extended:
+            band = _pad_channel_mirror(band, h, low_y, axis=0)
         band = _pad_channel_mirror(band, w, low_x, axis=1)
         return jnp.pad(
             band,
@@ -604,8 +779,10 @@ def fused_idwt2_level(
 
 def _mirror_tail_sub_repeat(a, edge: int, count: int):
     """Repeat-mirror of sublanes past ``edge``: ext[edge+1+m] = a[edge-m]
-    (the oracle's even-length bottom rule s[Ns+m] = s[Ns-1-m])."""
+    (the oracle's even-length bottom rule s[Ns+m] = s[Ns-1-m]).
+    ``count`` is clamped to the rows available past ``edge``."""
     L = a.shape[0]
+    count = max(0, min(count, L - 1 - edge))
     parts = [a[: edge + 1]]
     for m in range(count):
         parts.append(a[edge - m : edge - m + 1])
@@ -615,36 +792,107 @@ def _mirror_tail_sub_repeat(a, edge: int, count: int):
     return jnp.concatenate(parts, axis=0)
 
 
+def _mirror_head_sub_repeat(a, center: int, count: int):
+    """Repeat-head mirror of sublanes above ``center``: rows center-m
+    become rows center+m-1 (the channel rule d[-m] = d[m-1]); rows
+    below center-count are kept."""
+    parts = [a[: center - count]]
+    for m in range(count, 0, -1):
+        parts.append(a[center + m - 1 : center + m])
+    parts.append(a[center:])
+    return jnp.concatenate(parts, axis=0)
+
+
+#: row-channel halo of the pad-free multi-scale inverse windows
+#: (multiple of 8 so clamped starts stay provably aligned).
+CHR = 8
+#: mirror-fill depth at volume edges inside those windows.
+CFIX = 6
+
+
+def _chan_fix_sub(c, is_low: bool, pid, n_strips: int, er: int, stride: int):
+    """Channel-domain mirror fill of a band window's row halo for the
+    edge strips (interior strips carry real neighbour rows).
+
+    Rules (global length even; /root/reference whole-point borders with
+    s[i]=x[2i], d[i]=x[2i+1]):
+      top:    s[-m] = s[m]        d[-m] = d[m-1]
+      bottom: s[N+m] = s[N-1-m]   d[N+m] = d[N-2-m]
+    ``er`` is the window row of the last valid channel sample in the
+    LAST strip's window; ``stride`` the per-strip channel advance (for
+    the penultimate strip, whose window also crosses the array end when
+    the last strip is short).  Also roll-normalizes the first strip's
+    clamped window start.
+    """
+    rolled = jnp.roll(c, CHR, axis=0)
+    head = (
+        _mirror_head_sub(rolled, CHR, CFIX)
+        if is_low
+        else _mirror_head_sub_repeat(rolled, CHR, CFIX)
+    )
+    c = jnp.where(pid == 0, head, c)
+    tail_fn = _mirror_tail_sub_repeat if is_low else _mirror_tail_sub
+    c = jnp.where(pid == n_strips - 1, tail_fn(c, er, CFIX), c)
+    if n_strips >= 2 and er < 2 * CHR:
+        c = jnp.where(pid == n_strips - 2, tail_fn(c, er + stride, CFIX), c)
+    return c
+
+
 def _inv2_kernel(ll2_ref, hl2_ref, lh2_ref, hh2_ref,
                  hl1_ref, lh1_ref, hh1_ref, out_ref,
-                 *, wavelet, ty, wc, er1, ex1, ny):
-    # ---- level-2 inverse on the quarter-resolution windows
-    row0 = _int_sub(ll2_ref[:].T, hl2_ref[:].T).T
-    row1 = _int_sub(lh2_ref[:].T, hh2_ref[:].T).T
-    t2 = _int_sub(row0, row1)  # (ty/2+16, wc/2+16)
+                 *, wavelet, ty, wc, er2, er1, ny):
+    """Pad-free multi-scale inverse body.
+
+    Band windows are read straight from the UNPADDED coefficient
+    arrays (row-channel halo CHR, full-width lanes); volume-edge halos
+    are mirror-filled in VMEM for the first/last strips only
+    (:func:`_chan_fix_sub`), and column borders use the in-step mirror
+    of :func:`_neighbors` — no host padding pass at all.
+    """
+    pid = pl.program_id(0)
+    qy, hy = ty // 4, ty // 2
+    # ---- level-2 windows: fix row halos (ll2/hl2 are row-low 's'
+    # channels, lh2/hh2 row-high 'd' channels)
+    ll2 = _chan_fix_sub(ll2_ref[:], True, pid, ny, er2, qy)
+    hl2 = _chan_fix_sub(hl2_ref[:], True, pid, ny, er2, qy)
+    lh2 = _chan_fix_sub(lh2_ref[:], False, pid, ny, er2, qy)
+    hh2 = _chan_fix_sub(hh2_ref[:], False, pid, ny, er2, qy)
+
+    # ---- level-2 inverse (lane interleave via transpose sandwich,
+    # sublane interleave, then lifting with in-step column mirror)
+    row0 = _int_sub(ll2.T, hl2.T).T
+    row1 = _int_sub(lh2.T, hh2.T).T
+    t2 = _int_sub(row0, row1)  # (hy + 4*CHR, wc/2)
     t2 = _scale_interleaved(t2, wavelet, inverse=True)
     t2 = _lift_interleaved(t2, wavelet, axis=0, inverse=True)
-    t2 = _lift_interleaved(t2, wavelet, axis=1, inverse=True)
-    hy, hx = ty // 2, wc // 2
-    ll1 = t2[CH : CH + hy + 2 * CH, CH : CH + hx + 2 * CH]
+    t2 = _lift_interleaved(t2, wavelet, axis=1, inverse=True,
+                           edges=(True, True))
+    # LL1 rows [i*hy - CHR, i*hy + hy + CHR) live at t2 rows
+    # [CHR, CHR + hy + 2*CHR)
+    ll1 = t2[CHR : CHR + hy + 2 * CHR, :]
 
-    # ---- border fixup: the reconstruction extends LL1 with the signal
-    # whole-point mirror (skip), but the level-0 inverse oracle extends
-    # its low channel with the repeat mirror at even-length bottom/right
-    # edges.  Rewrite the halo past the image edge accordingly; top/left
-    # agree already (s[-m] = s[m] both ways).
-    ll1T = _mirror_tail_sub_repeat(ll1.T, ex1, CH).T  # right edge: all strips
-    fixed = _mirror_tail_sub_repeat(ll1T, er1, CH)  # bottom edge: last strip
-    ll1 = jnp.where(pl.program_id(0) == ny - 1, fixed, ll1T)
+    # ---- LL1 bottom fixup (last strip): reconstruction beyond the
+    # image edge must follow the level-1 channel repeat mirror
+    # s[N+m] = s[N-1-m]; the top halo is already consistent
+    # (s[-m] = s[m] falls out of the mirrored level-2 inputs).
+    fixed = _mirror_tail_sub_repeat(ll1, er1, CFIX)
+    ll1 = jnp.where(pid == ny - 1, fixed, ll1)
+    if ny >= 2 and er1 < 2 * CHR:
+        fixed2 = _mirror_tail_sub_repeat(ll1, er1 + hy, CFIX)
+        ll1 = jnp.where(pid == ny - 2, fixed2, ll1)
 
-    # ---- level-0 inverse
-    row0 = _int_sub(ll1.T, hl1_ref[:].T).T
-    row1 = _int_sub(lh1_ref[:].T, hh1_ref[:].T).T
-    t1 = _int_sub(row0, row1)  # (ty+16, wc+16)
+    # ---- level-1 windows + inverse
+    hl1 = _chan_fix_sub(hl1_ref[:], True, pid, ny, er1, hy)
+    lh1 = _chan_fix_sub(lh1_ref[:], False, pid, ny, er1, hy)
+    hh1 = _chan_fix_sub(hh1_ref[:], False, pid, ny, er1, hy)
+    row0 = _int_sub(ll1.T, hl1.T).T
+    row1 = _int_sub(lh1.T, hh1.T).T
+    t1 = _int_sub(row0, row1)  # (ty + 4*CHR, wc)
     t1 = _scale_interleaved(t1, wavelet, inverse=True)
     t1 = _lift_interleaved(t1, wavelet, axis=0, inverse=True)
-    t1 = _lift_interleaved(t1, wavelet, axis=1, inverse=True)
-    out_ref[:] = t1[2 * CH : 2 * CH + ty, 2 * CH : 2 * CH + wc]
+    t1 = _lift_interleaved(t1, wavelet, axis=1, inverse=True,
+                           edges=(True, True))
+    out_ref[:] = t1[2 * CHR : 2 * CHR + ty, :]
 
 
 @functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret"))
@@ -658,7 +906,9 @@ def fused_idwt2_2level(
     :func:`fused_dwt2_2level` (multi-scale fused reconstruction, the
     dwt-sym-ms.c idea in the synthesis direction).  Takes
     (LL2, (HL2, LH2, HH2), (HL1, LH1, HH1)); requires h, w divisible
-    by 4 and a symmetric-step wavelet.
+    by 4 and a symmetric-step wavelet.  Like the forward, the kernel
+    reads the unpadded coefficient arrays directly — no host padding
+    pass over the data.
     """
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
@@ -668,58 +918,51 @@ def fused_idwt2_2level(
     w = hl1.shape[-1] + lh1.shape[-1]
     if h % 4 or w % 4:
         raise ValueError("fused_idwt2_2level needs h, w divisible by 4")
-    if min(h, w) < 4 * (CH + 1):
+    if min(h, w) < 4 * (CFIX + 1):
         raise ValueError("image too small for the 2-level fused inverse")
     wc = w
-    qrow_bytes = (wc // 4 + 2 * CH) * ll2.dtype.itemsize
-    ty = strip_rows or max(
-        64, min(512, ((1024 * 1024 * 4 // (5 * qrow_bytes)) // 32) * 32)
-    )
-    ty = min(ty, max(32, (h // 32) * 32))
-    if h <= ty:
-        ty = h
-    if ty % 32 and h > ty:
+    ty = strip_rows or 96
+    if ty % 32:
         raise ValueError("strip_rows must be a multiple of 32")
+    if h <= ty:
+        ty = ((h + 31) // 32) * 32
     ny = pl.cdiv(h, ty)
     hy, hx = ty // 2, wc // 2
     qy, qx = ty // 4, wc // 4
+    cy1, cy2 = h // 2, h // 4  # channel row counts at levels 1/2
 
-    def prep(band, n_y, n_x, low_y, low_x, block_y, lanes):
-        b = _pad_channel_mirror(band, n_y, low_y, axis=-2)
-        b = _pad_channel_mirror(b, n_x, low_x, axis=-1)
-        return jnp.pad(
-            b,
-            (
-                (0, ny * block_y + 2 * CH - b.shape[-2]),
-                (0, lanes + 2 * CH - b.shape[-1]),
-            ),
-        )
+    def idx_q(i):
+        return (pl.multiple_of(jnp.maximum(i * qy - CHR, 0), 8), 0)
 
-    # level-2 channels live on the (h/2, w/2) grid of LL1
-    ll2p = prep(ll2, h // 2, w // 2, True, True, qy, qx)
-    hl2p = prep(hl2, h // 2, w // 2, True, False, qy, qx)
-    lh2p = prep(lh2, h // 2, w // 2, False, True, qy, qx)
-    hh2p = prep(hh2, h // 2, w // 2, False, False, qy, qx)
-    # level-1 channels live on the (h, w) grid
-    hl1p = prep(hl1, h, w, True, False, hy, hx)
-    lh1p = prep(lh1, h, w, False, True, hy, hx)
-    hh1p = prep(hh1, h, w, False, False, hy, hx)
+    def idx_h(i):
+        return (pl.multiple_of(jnp.maximum(i * hy - CHR, 0), 8), 0)
 
-    er1 = h // 2 - 1 - (ny - 1) * hy + CH  # window-row of last valid LL1 row
-    ex1 = wc // 2 - 1 + CH  # window-lane of last valid LL1 column
-    out_sd = jax.ShapeDtypeStruct((ny * ty, wc), ll2.dtype)
+    pad_q = max(ny * qy + CHR, qy + 2 * CHR) - cy2
+    pad_h = max(ny * hy + CHR, hy + 2 * CHR) - cy1
+    ins = [ll2, hl2, lh2, hh2, hl1, lh1, hh1]
+    if interpret:
+        # interpret's clamping dynamic slices would shift the last
+        # strip; emulate the high padding bound with a real zero pad.
+        ins = [jnp.pad(b, ((0, pad_q), (0, 0))) for b in ins[:4]] + [
+            jnp.pad(b, ((0, pad_h), (0, 0))) for b in ins[4:]
+        ]
+        pad_q = pad_h = 0
     spec_q = pl.BlockSpec(
-        (pl.Element(qy + 2 * CH, (0, 0)), pl.Element(qx + 2 * CH, (0, 0))),
-        lambda i: (pl.multiple_of(i * qy, 8), 0),
+        (pl.Element(qy + 2 * CHR, (0, pad_q)), pl.Element(qx, (0, 0))),
+        idx_q,
         memory_space=pltpu.VMEM,
     )
     spec_h = pl.BlockSpec(
-        (pl.Element(hy + 2 * CH, (0, 0)), pl.Element(hx + 2 * CH, (0, 0))),
-        lambda i: (pl.multiple_of(i * hy, 8), 0),
+        (pl.Element(hy + 2 * CHR, (0, pad_h)), pl.Element(hx, (0, 0))),
+        idx_h,
         memory_space=pltpu.VMEM,
     )
+    # window rows of the last valid channel sample in the LAST strip
+    er2 = cy2 - 1 - ((ny - 1) * qy - CHR)
+    er1 = cy1 - 1 - ((ny - 1) * hy - CHR)
+    out_sd = jax.ShapeDtypeStruct((ny * ty, wc), ll2.dtype)
     kernel = functools.partial(
-        _inv2_kernel, wavelet=wavelet, ty=ty, wc=wc, er1=er1, ex1=ex1, ny=ny
+        _inv2_kernel, wavelet=wavelet, ty=ty, wc=wc, er2=er2, er1=er1, ny=ny
     )
     out = pl.pallas_call(
         kernel,
@@ -728,7 +971,7 @@ def fused_idwt2_2level(
         out_specs=pl.BlockSpec((ty, wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=out_sd,
         interpret=interpret,
-    )(ll2p, hl2p, lh2p, hh2p, hl1p, lh1p, hh1p)
+    )(*ins)
     return out[:h, :w]
 
 

@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from libdwt_tpu import wavedec2
-from libdwt_tpu.ops.fused import fused_dwt2_2level, fused_wavedec2
+from libdwt_tpu.ops.fused import (fused_dwt2_2level, fused_idwt2_2level, fused_wavedec2)
 from libdwt_tpu.utils.testimg import test_image as make_test_image
 
 SIZES = [(128, 128), (256, 192), (64, 256), (96, 96), (320, 128), (100, 64)]
@@ -126,3 +126,25 @@ def test_deep_pyramid_int_bitexact():
     got = fused_deep_wavedec2(x, "cdf53", 3, interpret=True)
     for a, b in zip(_leaves(got), _leaves(want)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("h", [132, 136, 140])
+def test_2level_short_last_strip(h):
+    """h % strip_rows leaves a short last strip: the PENULTIMATE
+    strip's window crosses the image end and must mirror-fill too."""
+    x = jnp.asarray(make_test_image(h, 64, dtype=np.float32))
+    want = wavedec2(x, "cdf97", 2)
+    got = fused_dwt2_2level(x, "cdf97", strip_rows=32, interpret=True)
+    flat_w = [want[0]] + list(want[1]) + list(want[2])
+    flat_g = [got[0]] + list(got[1]) + list(got[2])
+    for a, b in zip(flat_g, flat_w):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=0)
+
+
+@pytest.mark.parametrize("h", [132, 136, 140])
+def test_2level_inverse_short_last_strip(h):
+    x = jnp.asarray(make_test_image(h, 64, dtype=np.float32))
+    c = wavedec2(x, "cdf97", 2)
+    rec = fused_idwt2_2level(c[0], c[1], c[2], "cdf97", strip_rows=32,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-3, rtol=0)
