@@ -63,7 +63,7 @@ def _on_tpu() -> bool:
         return False
 
 
-def _use_fused(h: int, w: int, wavelet, impl: Optional[str]) -> bool:
+def _use_fused(h: int, w: int, wavelet, impl: Optional[str], dtype=None) -> bool:
     impl = impl or _default_impl
     if impl == "separable":
         return False
@@ -77,13 +77,24 @@ def _use_fused(h: int, w: int, wavelet, impl: Optional[str]) -> bool:
                 "symmetric-step wavelet"
             )
         return True
-    return feasible and min(h, w) >= _AUTO_MIN_SIZE and _on_tpu()
+    if not (feasible and _on_tpu()):
+        return False
+    # 'auto': prefer the measured crossover table (tools/tune.py runs
+    # tune_dispatch on the live device); fall back to the built-in
+    # threshold for untuned device kinds / buckets.
+    if dtype is not None:
+        from libdwt_tpu.autotune import dispatch_choice
+
+        choice = dispatch_choice(h, w, dtype, wavelet)
+        if choice is not None:
+            return choice == "fused"
+    return min(h, w) >= _AUTO_MIN_SIZE
 
 
 def dwt2(x, wavelet="cdf97", impl: Optional[str] = None):
     """Single-level 2-D forward transform -> (LL, HL, LH, HH)."""
     h, w = x.shape[-2], x.shape[-1]
-    if _use_fused(h, w, wavelet, impl):
+    if _use_fused(h, w, wavelet, impl, x.dtype):
         interp = not _on_tpu()
         if x.ndim == 2:
             return fused_dwt2_level(x, wavelet, interpret=interp)
@@ -102,11 +113,19 @@ def dwt2(x, wavelet="cdf97", impl: Optional[str] = None):
     return _sep.dwt2_level(x, wavelet)
 
 
-def idwt2(ll, hl, lh, hh, wavelet="cdf97", impl: Optional[str] = None):
-    """Single-level 2-D inverse transform."""
+def idwt2(ll, hl, lh, hh, wavelet="cdf97", impl: Optional[str] = None,
+          border: str = "mirror"):
+    """Single-level 2-D inverse transform.
+
+    ``border`` selects the sparse-reconstruction border mode
+    ('mirror'/'hole'/'zero', /root/reference/src/libdwt.h:909-933);
+    non-mirror modes run on the separable path.
+    """
     h = ll.shape[-2] + hh.shape[-2]
     w = ll.shape[-1] + hh.shape[-1]
-    if _use_fused(h, w, wavelet, impl):
+    if border != "mirror":
+        return _sep.idwt2_level(ll, hl, lh, hh, wavelet, border=border)
+    if _use_fused(h, w, wavelet, impl, ll.dtype):
         interp = not _on_tpu()
         if ll.ndim == 2:
             return fused_idwt2_level(ll, hl, lh, hh, wavelet, interpret=interp)
@@ -132,7 +151,7 @@ def wavedec2(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str
     """
     h, w = x.shape[-2], x.shape[-1]
     j = resolve_j(h, w, level)
-    if _use_fused(h, w, wavelet, impl):
+    if _use_fused(h, w, wavelet, impl, x.dtype):
         from libdwt_tpu.ops.fused import fused_wavedec2
 
         interp = not _on_tpu()
@@ -155,48 +174,60 @@ def wavedec2(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str
     return [ll] + coeffs[::-1]
 
 
-def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None):
+def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None,
+             border: str = "mirror"):
     """Inverse of :func:`wavedec2`.  On TPU large reconstructions route
-    through the multi-scale fused inverse (two levels per HBM pass)."""
+    through the multi-scale fused inverse (two levels per HBM pass).
+
+    ``border`` gives the reference's sparse-reconstruction inverses:
+    'hole' = dwt_cdf97_2i_inplace_hole_s, 'zero' =
+    dwt_cdf97_2i_inplace_zero_s (/root/reference/src/libdwt.h:909-933);
+    both run on the separable path.
+    """
     ll = coeffs[0]
-    if len(coeffs) > 1:
+    if len(coeffs) > 1 and border == "mirror":
         h = coeffs[-1][0].shape[-2] + coeffs[-1][1].shape[-2]
         w = coeffs[-1][0].shape[-1] + coeffs[-1][1].shape[-1]
-        if _use_fused(h, w, wavelet, impl) and ll.ndim == 2:
+        if _use_fused(h, w, wavelet, impl, ll.dtype) and ll.ndim == 2:
             from libdwt_tpu.ops.fused import fused_waverec2
 
             return fused_waverec2(coeffs, wavelet, interpret=not _on_tpu())
     for hl, lh, hh in coeffs[1:]:
-        ll = idwt2(ll, hl, lh, hh, wavelet, impl=impl)
+        ll = idwt2(ll, hl, lh, hh, wavelet, impl=impl, border=border)
     return ll
+
+
+def _use_fused3(shape3, wavelet, impl) -> bool:
+    from libdwt_tpu.ops.fused import fused_supported
+
+    z, yy, xx = shape3
+    return (
+        (impl or _default_impl) != "separable"
+        and fused_supported(wavelet)
+        and _on_tpu()
+        and z % 2 == 0 and yy % 2 == 0 and xx % 2 == 0
+        and min(z, yy, xx) > 4
+    )
 
 
 def wavedec3(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str] = None):
     """Multi-level 3-D MRA with fused-kernel dispatch per level.
 
-    Uses the fused single-pass volume kernel (ops/fused3d) on TPU when
-    the level geometry allows (even dims, slab fits VMEM), the
-    separable oracle otherwise.  Same pytree as
+    Uses the fused single-pass volume kernel (ops/fused3d, (z, y)-tiled
+    so any cross-section fits VMEM) on TPU when the level geometry
+    allows (even dims), the separable oracle otherwise.  Same pytree as
     :func:`libdwt_tpu.wavedec3`.
     """
-    from libdwt_tpu.ops.fused import fused_supported
     from libdwt_tpu.ops.fused3d import fused_dwt3_level
     from libdwt_tpu.ops.separable import dwt3_level
 
     dims = x.shape[-3:]
     j = resolve_j(min(dims), min(dims), level)
-    use_fused_base = (
-        (impl or _default_impl) != "separable"
-        and fused_supported(wavelet)
-        and _on_tpu()
-        and x.ndim == 3
-    )
     coeffs = []
     low = x
     for _ in range(j):
-        z, yy, xx = low.shape[-3:]
         bands = None
-        if use_fused_base and z % 2 == 0 and yy % 2 == 0 and xx % 2 == 0 and min(z, yy, xx) > 4:
+        if x.ndim == 3 and _use_fused3(low.shape[-3:], wavelet, impl):
             try:
                 bands = fused_dwt3_level(low, wavelet)
             except ValueError:
@@ -209,8 +240,25 @@ def wavedec3(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str
 
 
 def waverec3(coeffs, wavelet="cdf97", impl: Optional[str] = None):
-    """Inverse of :func:`wavedec3` (separable; reconstruction is
-    latency-bound at volume sizes that fit one chip)."""
-    from libdwt_tpu.ops.separable import waverec3 as _wr3
+    """Inverse of :func:`wavedec3`; on TPU each level routes through the
+    fused single-pass inverse volume kernel where geometry allows."""
+    from libdwt_tpu.ops.fused3d import fused_idwt3_level
+    from libdwt_tpu.ops.separable import idwt3_level
 
-    return _wr3(coeffs, wavelet)
+    low = coeffs[0]
+    for bands in coeffs[1:]:
+        full = dict(bands)
+        full["LLL"] = low
+        rec = None
+        shape3 = tuple(2 * s for s in low.shape[-3:])
+        if low.ndim == 3 and _use_fused3(shape3, wavelet, impl) and all(
+            b.shape == low.shape for b in full.values()
+        ):
+            try:
+                rec = fused_idwt3_level(full, wavelet)
+            except ValueError:
+                rec = None
+        if rec is None:
+            rec = idwt3_level(full, wavelet)
+        low = rec
+    return low

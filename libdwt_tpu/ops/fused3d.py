@@ -1,17 +1,29 @@
-"""Fused single-pass 3-D DWT Pallas kernel.
+"""Fused single-pass 3-D DWT Pallas kernels (forward AND inverse).
 
 TPU-native analogue of the reference's true 3-D single-loop cores
 (cube_4x4x2 etc., /root/reference/src/volume-dwt.c:1241-1777, dispatch
-cdf97_3f_op_wrapper_s :2787): all three axis passes (x, y, z) in one
-VMEM residency instead of the separable path's six HBM passes per
-level.  Z is cut into strips with a 4-slab mirror halo (pl.Element
-windows, auto-pipelined); Y and X are carried whole per slab with
-host-side mirror padding.
+cdf97_3f_op_wrapper_s :2787-2808 — which includes the inverse): all
+three axis passes (x, y, z) in one VMEM residency instead of the
+separable path's six HBM passes per level.
 
-Layout ops follow the same Mosaic constraints as the 2-D kernels:
-lifting via rolls + parity masks on any axis; polyphase deinterleave on
-the leading (z) axis and sublane (y) axis via reshape, and on the lane
-(x) axis via a transpose sandwich per slab.
+The volume is tiled over a (z-strips, y-strips) grid so cross-sections
+of ANY size fit VMEM (the y split); x stays whole per tile (full-width
+lanes need no halo).  Windows are read straight from the UNPADDED
+volume via element windows with padding bounds; symmetric borders are
+materialized in VMEM for edge tiles only:
+
+  * x (lane) borders: the in-step whole-point mirror of
+    ops.fused._neighbors — zero cost, exact.
+  * z/y borders, forward: whole-point mirror rows built by static
+    slices (the virt2real analogue, /root/reference/src/dwt-sym.c:434-450).
+  * z/y borders, inverse: the channel-domain mirror rules derived from
+    x[-k]=x[k] / x[n-1+k]=x[n-1-k] with s[i]=x[2i], d[i]=x[2i+1]:
+      top:    s[-m] = s[m]         d[-m]   = d[m-1]
+      bottom: s[N+m] = s[N-1-m]    d[N+m]  = d[N-2-m]      (N even)
+
+Layout ops follow the Mosaic constraints (see CLAUDE.md): polyphase
+splits by leading/sublane reshape, lane polyphase via a transpose
+sandwich, lifting via rolls + parity masks.
 """
 from __future__ import annotations
 
@@ -25,19 +37,63 @@ from jax.experimental.pallas import tpu as pltpu
 
 from libdwt_tpu.models.wavelets import get_wavelet
 from libdwt_tpu.ops.fused import (
-    HALO,
     _check_fused_supported,
     _lift_interleaved,
     _parity_mask,
 )
 
-__all__ = ["fused_dwt3_level"]
+__all__ = ["fused_dwt3_level", "fused_idwt3_level"]
 
-#: soft VMEM ceiling for the (tz+8) x (Y+8) x (X+8) window + outputs
-#: (physical scoped-vmem limit is 16MB; lifting holds ~3 live copies).
-_VMEM_BUDGET_3D = 4 * 1024 * 1024
+#: z halo (signal slabs) and y halo (signal rows) of the forward kernel.
+HZ = 4
+HY = 8  # >= 4 needed; multiple of 8 keeps window starts provably aligned
+#: channel-domain halos of the inverse kernel.
+CZ = 2
+CY = 8  # >= 2 needed; multiple of 8 for alignment
+
+#: soft VMEM ceiling for one tile's working set (physical limit ~16MB;
+#: the lifting chain keeps ~4 live copies of the window).
+_VMEM_BUDGET_3D = 3 * 1024 * 1024
 
 _BANDS = ("LLL", "LLH", "LHL", "LHH", "HLL", "HLH", "HHL", "HHH")
+
+
+# ----------------------------------------------------------- axis helpers
+
+
+def _slice_ax(a, start, size, axis):
+    return jax.lax.slice_in_dim(a, start, start + size, axis=axis)
+
+
+def _mirror_head_ax(a, center: int, count: int, axis: int, repeat: bool):
+    """Fill rows [center-count, center) of ``axis`` with the mirror of
+    the rows at/after ``center``: whole-point (idx center-m := center+m)
+    or repeat (:= center+m-1).  Rows below center-count are kept."""
+    parts = [_slice_ax(a, 0, center - count, axis)]
+    for m in range(count, 0, -1):
+        src = center + m - 1 if repeat else center + m
+        parts.append(_slice_ax(a, src, 1, axis))
+    parts.append(_slice_ax(a, center, a.shape[axis] - center, axis))
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _mirror_tail_ax(a, edge: int, count: int, axis: int, repeat: bool):
+    """Fill rows (edge, edge+count] of ``axis`` with the mirror of the
+    rows at/before ``edge`` (whole-point: edge+m := edge-m; repeat:
+    := edge-m+1); zero anything beyond.  ``count`` clamps to the rows
+    available past ``edge``."""
+    L = a.shape[axis]
+    count = max(0, min(count, L - 1 - edge))
+    parts = [_slice_ax(a, 0, edge + 1, axis)]
+    for m in range(1, count + 1):
+        src = edge - m + 1 if repeat else edge - m
+        parts.append(_slice_ax(a, src, 1, axis))
+    used = edge + 1 + count
+    if used < L:
+        shape = list(a.shape)
+        shape[axis] = L - used
+        parts.append(jnp.zeros(shape, a.dtype))
+    return jnp.concatenate(parts, axis=axis)
 
 
 def _scale3(t, wavelet):
@@ -45,6 +101,19 @@ def _scale3(t, wavelet):
         return t
     lo = jnp.asarray(wavelet.scale_s, t.dtype)
     hi = jnp.asarray(wavelet.scale_d, t.dtype)
+    for ax in (0, 1, 2):
+        f = jnp.where(_parity_mask(t.shape, ax, False), lo, hi)
+        t = t * f
+    return t
+
+
+def _inv_scale3(t, wavelet):
+    if wavelet.scale_s is None or jnp.issubdtype(t.dtype, jnp.integer):
+        return t
+    lo = jnp.asarray(wavelet.inv_scale_s if wavelet.inv_scale_s is not None
+                     else wavelet.scale_d, t.dtype)
+    hi = jnp.asarray(wavelet.inv_scale_d if wavelet.inv_scale_d is not None
+                     else wavelet.scale_s, t.dtype)
     for ax in (0, 1, 2):
         f = jnp.where(_parity_mask(t.shape, ax, False), lo, hi)
         t = t * f
@@ -70,15 +139,90 @@ def _deint_axis2(v):
     return jnp.swapaxes(a, 1, 2), jnp.swapaxes(b, 1, 2)
 
 
-def _3d_kernel(x_ref, *out_refs, wavelet, tz, ny, nx):
+def _int_axis0(a, b):
+    """Interleave along dim0: c[2i]=a[i], c[2i+1]=b[i]."""
+    n = a.shape[0]
+    stacked = jnp.concatenate(
+        [a.reshape(n, 1, *a.shape[1:]), b.reshape(n, 1, *b.shape[1:])], axis=1
+    )
+    return stacked.reshape(2 * n, *a.shape[1:])
+
+
+def _int_axis1(a, b):
+    n = a.shape[1]
+    stacked = jnp.concatenate(
+        [
+            a.reshape(a.shape[0], n, 1, a.shape[2]),
+            b.reshape(b.shape[0], n, 1, b.shape[2]),
+        ],
+        axis=2,
+    )
+    return stacked.reshape(a.shape[0], 2 * n, a.shape[2])
+
+
+def _int_axis2(a, b):
+    at = jnp.swapaxes(a, 1, 2)
+    bt = jnp.swapaxes(b, 1, 2)
+    return jnp.swapaxes(_int_axis1(at, bt), 1, 2)
+
+
+# ------------------------------------------------------------ tile sizing
+
+
+def _pick_tiles(z, y, x, itemsize, budget=_VMEM_BUDGET_3D):
+    """(tz, ty) with tz even, ty % 16 == 0, window fitting the budget."""
+    lane_bytes = x * itemsize
+
+    def window_bytes(tz_, ty_):
+        return (tz_ + 2 * HZ) * (ty_ + 2 * HY) * lane_bytes
+
+    ty = min(((y + 15) // 16) * 16, 256)
+    tz = min(z + z % 2, 16)
+    while window_bytes(tz, ty) > budget and ty > 16:
+        ty = max(16, (ty // 32) * 16)
+    while window_bytes(tz, ty) > budget and tz > 2:
+        tz = max(2, (tz // 4) * 2)
+    if window_bytes(tz, ty) > budget:
+        raise ValueError(
+            f"cross-section row of {x} lanes too large for a VMEM tile"
+        )
+    return tz, ty
+
+
+# ---------------------------------------------------------- forward kernel
+
+
+def _3d_kernel(x_ref, *out_refs, wavelet, tz, ty, erz, ery, nz, nyy):
     t = x_ref[:]
+    pz = pl.program_id(0)
+    py = pl.program_id(1)
+    # first tiles: window starts were clamped from -halo to 0 (Mosaic
+    # supports only HIGH element-window padding); constant rolls
+    # normalize the layout before the mirror fills below.
+    t = jnp.where(pz == 0, jnp.roll(t, HZ, axis=0), t)
+    t = jnp.where(py == 0, jnp.roll(t, HY, axis=1), t)
+    # edge tiles: materialize the whole-point mirror in VMEM (the
+    # penultimate tile's window also crosses the volume end when the
+    # last tile is short)
+    t = jnp.where(pz == 0, _mirror_head_ax(t, HZ, HZ, 0, repeat=False), t)
+    t = jnp.where(pz == nz - 1, _mirror_tail_ax(t, erz, HZ, 0, repeat=False), t)
+    if nz >= 2 and erz < 2 * HZ:
+        t = jnp.where(
+            pz == nz - 2, _mirror_tail_ax(t, erz + tz, HZ, 0, repeat=False), t
+        )
+    t = jnp.where(py == 0, _mirror_head_ax(t, HY, HZ, 1, repeat=False), t)
+    t = jnp.where(py == nyy - 1, _mirror_tail_ax(t, ery, HZ, 1, repeat=False), t)
+    if nyy >= 2 and ery < 2 * HY:
+        t = jnp.where(
+            py == nyy - 2, _mirror_tail_ax(t, ery + ty, HZ, 1, repeat=False), t
+        )
     # axis order x, y, z — the separable decomposition order of
     # /root/reference/src/volume-dwt.c (dwt3_level convention).
-    t = _lift_interleaved(t, wavelet, axis=2, inverse=False)
+    t = _lift_interleaved(t, wavelet, axis=2, inverse=False, edges=(True, True))
     t = _lift_interleaved(t, wavelet, axis=1, inverse=False)
     t = _lift_interleaved(t, wavelet, axis=0, inverse=False)
     t = _scale3(t, wavelet)
-    v = t[HALO : HALO + tz, HALO : HALO + ny, HALO : HALO + nx]
+    v = t[HZ : HZ + tz, HY : HY + ty, :]
     lo_z, hi_z = _deint_axis0(v)
     outs = {}
     for zn, zv in (("L", lo_z), ("H", hi_z)):
@@ -91,11 +235,14 @@ def _3d_kernel(x_ref, *out_refs, wavelet, tz, ny, nx):
         ref[:] = outs[name]
 
 
-@functools.partial(jax.jit, static_argnames=("wavelet", "strip_z", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("wavelet", "strip_z", "strip_y", "interpret")
+)
 def fused_dwt3_level(
     x: jax.Array,
     wavelet="cdf97",
     strip_z: int = 0,
+    strip_y: int = 0,
     interpret: bool = False,
 ) -> Dict[str, jax.Array]:
     """Single-level fused 3-D forward DWT -> dict of 8 subbands keyed
@@ -103,8 +250,9 @@ def fused_dwt3_level(
     :func:`libdwt_tpu.dwt3_level` (the separable oracle); float to
     FP-association tolerance, integers bit-exact.
 
-    Requires even (z, y, x) and a slab small enough for VMEM; callers
-    should fall back to the oracle otherwise.
+    Requires even (z, y, x) dims > HZ and a symmetric-step wavelet.
+    Arbitrarily large cross-sections are handled by the (z, y) tile
+    grid; only a single x-row of the window must fit VMEM.
     """
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
@@ -113,49 +261,205 @@ def fused_dwt3_level(
     z, y, w = x.shape
     if z % 2 or y % 2 or w % 2:
         raise ValueError("fused_dwt3_level needs even dimensions")
-    if min(z, y, w) <= HALO:
+    if min(z, y, w) <= HZ:
         raise ValueError("volume too small for the fused kernel; use the oracle")
 
-    slab_bytes = (y + 2 * HALO) * (w + 2 * HALO) * x.dtype.itemsize
-    # the kernel keeps ~3 live copies of the window plus the output
-    # blocks; demand a strip deep enough to amortize the 8-slab halo,
-    # otherwise the read amplification negates the fusion win.
-    max_tz = _VMEM_BUDGET_3D // (3 * slab_bytes)
-    if strip_z == 0 and max_tz < 16 and max_tz < z:
-        raise ValueError(
-            f"slab {y}x{w} too large for an efficient VMEM strip "
-            f"(max_tz={max_tz}); use the separable path"
-        )
-    tz = strip_z or min(z, (max_tz // 2) * 2)
-    tz = min(tz, z)
-    if tz % 2:
-        tz -= 1
+    tz_auto, ty_auto = _pick_tiles(z, y, w, x.dtype.itemsize)
+    tz = strip_z or tz_auto
+    ty = strip_y or ty_auto
+    tz += tz % 2
+    tz = max(HZ, min(tz, z + z % 2))  # tz >= HZ: only tile 0 clamps its start
+    if ty % 16:
+        raise ValueError("strip_y must be a multiple of 16")
     nz = pl.cdiv(z, tz)
+    nyy = pl.cdiv(y, ty)
 
-    xp = jnp.pad(x, ((HALO, HALO),) * 3, mode="reflect")
-    xp = jnp.pad(xp, ((0, nz * tz + 2 * HALO - xp.shape[0]), (0, 0), (0, 0)))
+    # Window starts clamp to 0 in the index map (only HIGH element
+    # padding lowers; the kernel roll-normalizes the first tiles).
+    def idx(i, j):
+        return (
+            pl.multiple_of(jnp.maximum(i * tz - HZ, 0), 2),
+            pl.multiple_of(jnp.maximum(j * ty - HY, 0), 8),
+            0,
+        )
 
-    hz, hy, hx = tz // 2, y // 2, w // 2
-    sd = jax.ShapeDtypeStruct((nz * hz, hy, hx), x.dtype)
-    out_spec = pl.BlockSpec((hz, hy, hx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_3d_kernel, wavelet=wavelet, tz=tz, ny=y, nx=w)
+    pad_z = max(nz * tz + HZ, tz + 2 * HZ) - z
+    pad_y = max(nyy * ty + HY, ty + 2 * HY) - y
+    if interpret:
+        # interpret's clamping dynamic slices would shift the last
+        # tiles; emulate the high padding with a real zero pad.
+        xp = jnp.pad(x, ((0, pad_z), (0, pad_y), (0, 0)))
+        pad_z = pad_y = 0
+    else:
+        xp = x
+    in_spec = pl.BlockSpec(
+        (
+            pl.Element(tz + 2 * HZ, (0, pad_z)),
+            pl.Element(ty + 2 * HY, (0, pad_y)),
+            pl.Element(w, (0, 0)),
+        ),
+        idx,
+        memory_space=pltpu.VMEM,
+    )
+
+    hz_, hy_, hx_ = tz // 2, ty // 2, w // 2
+    sd = jax.ShapeDtypeStruct((nz * hz_, nyy * hy_, hx_), x.dtype)
+    out_spec = pl.BlockSpec(
+        (hz_, hy_, hx_), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    erz = z - 1 - ((nz - 1) * tz - HZ)
+    ery = y - 1 - ((nyy - 1) * ty - HY)
+    kernel = functools.partial(
+        _3d_kernel, wavelet=wavelet, tz=tz, ty=ty, erz=erz, ery=ery,
+        nz=nz, nyy=nyy,
+    )
     outs = pl.pallas_call(
         kernel,
-        grid=(nz,),
-        in_specs=[
-            pl.BlockSpec(
-                (
-                    pl.Element(tz + 2 * HALO, (0, 0)),
-                    pl.Element(y + 2 * HALO, (0, 0)),
-                    pl.Element(w + 2 * HALO, (0, 0)),
-                ),
-                lambda i: (pl.multiple_of(i * tz, 2), 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ],
+        grid=(nz, nyy),
+        in_specs=[in_spec],
         out_specs=(out_spec,) * 8,
         out_shape=(sd,) * 8,
         interpret=interpret,
     )(xp)
-    qz = z // 2
-    return {name: band[:qz] for name, band in zip(_BANDS, outs)}
+    qz, qy = z // 2, y // 2
+    return {name: band[:qz, :qy] for name, band in zip(_BANDS, outs)}
+
+
+# ---------------------------------------------------------- inverse kernel
+
+
+def _chan_fix(c, axis, is_low, pid, n_tiles, er, stride):
+    """Channel-domain mirror fill of a band window's halo along
+    ``axis`` for the edge tiles (interior tiles carry real neighbour
+    data).  ``er`` is the window index of the last valid channel sample
+    in the LAST tile's window; ``stride`` the per-tile channel advance
+    (for the penultimate tile when the last tile is short)."""
+    off = CZ if axis == 0 else CY
+    head = _mirror_head_ax(c, off, CZ, axis, repeat=not is_low)
+    c = jnp.where(pid == 0, head, c)
+    c = jnp.where(
+        pid == n_tiles - 1, _mirror_tail_ax(c, er, CZ, axis, repeat=is_low), c
+    )
+    if n_tiles >= 2 and er < 2 * off:
+        c = jnp.where(
+            pid == n_tiles - 2,
+            _mirror_tail_ax(c, er + stride, CZ, axis, repeat=is_low),
+            c,
+        )
+    return c
+
+
+def _3d_inv_kernel(*refs, wavelet, tz, ty, erz, ery, nz, nyy):
+    out_ref = refs[-1]
+    bands = {}
+    pz = pl.program_id(0)
+    py = pl.program_id(1)
+    for ref, name in zip(refs[:-1], _BANDS):
+        c = ref[:]
+        # roll-normalize the first tiles' clamped window starts
+        c = jnp.where(pz == 0, jnp.roll(c, CZ, axis=0), c)
+        c = jnp.where(py == 0, jnp.roll(c, CY, axis=1), c)
+        c = _chan_fix(c, 0, name[0] == "L", pz, nz, erz, tz // 2)
+        c = _chan_fix(c, 1, name[1] == "L", py, nyy, ery, ty // 2)
+        bands[name] = c
+    # interleave channels back: x, then y, then z
+    by_zy = {}
+    for zn in "LH":
+        for yn in "LH":
+            by_zy[zn + yn] = _int_axis2(bands[zn + yn + "L"], bands[zn + yn + "H"])
+    by_z = {zn: _int_axis1(by_zy[zn + "L"], by_zy[zn + "H"]) for zn in "LH"}
+    t = _int_axis0(by_z["L"], by_z["H"])
+    # inverse lifting: z, y, then x (reverse of the forward x, y, z)
+    t = _inv_scale3(t, wavelet)
+    t = _lift_interleaved(t, wavelet, axis=0, inverse=True)
+    t = _lift_interleaved(t, wavelet, axis=1, inverse=True)
+    t = _lift_interleaved(t, wavelet, axis=2, inverse=True, edges=(True, True))
+    out_ref[:] = t[2 * CZ : 2 * CZ + tz, 2 * CY : 2 * CY + ty, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wavelet", "strip_z", "strip_y", "interpret")
+)
+def fused_idwt3_level(
+    bands: Dict[str, jax.Array],
+    wavelet="cdf97",
+    strip_z: int = 0,
+    strip_y: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-level fused 3-D inverse DWT (inverse of
+    :func:`fused_dwt3_level`; the fused analogue the reference ships as
+    part of cdf97_3f_op_wrapper_s's inverse dispatch,
+    /root/reference/src/volume-dwt.c:2787-2808).  All three inverse
+    axis passes run in one VMEM residency per tile; float results agree
+    with the separable oracle to association tolerance, integers
+    bit-exactly.
+    """
+    wavelet = get_wavelet(wavelet)
+    _check_fused_supported(wavelet)
+    lll = bands["LLL"]
+    cz, cy, cx = lll.shape
+    z, y, w = 2 * cz, 2 * cy, 2 * cx
+    for name in _BANDS:
+        if bands[name].shape != (cz, cy, cx):
+            raise ValueError("fused_idwt3_level needs equal even-band shapes")
+    if min(cz, cy, cx) <= CZ:
+        raise ValueError("volume too small for the fused inverse; use the oracle")
+
+    tz_auto, ty_auto = _pick_tiles(z, y, w, lll.dtype.itemsize)
+    tz = strip_z or tz_auto
+    ty = strip_y or ty_auto
+    tz += tz % 2
+    tz = max(2 * CZ, min(tz, z))  # qz >= CZ: only tile 0 clamps its start
+    if ty % 16:
+        raise ValueError("strip_y must be a multiple of 16")
+    nz = pl.cdiv(z, tz)
+    nyy = pl.cdiv(y, ty)
+    qz, qy = tz // 2, ty // 2
+
+    def idx(i, j):
+        return (
+            pl.multiple_of(jnp.maximum(i * qz - CZ, 0), 2),
+            pl.multiple_of(jnp.maximum(j * qy - CY, 0), 8),
+            0,
+        )
+
+    pad_z = max(nz * qz + CZ, qz + 2 * CZ) - cz
+    pad_y = max(nyy * qy + CY, qy + 2 * CY) - cy
+    if interpret:
+        ins = [
+            jnp.pad(bands[n], ((0, pad_z), (0, pad_y), (0, 0)))
+            for n in _BANDS
+        ]
+        pad_z = pad_y = 0
+    else:
+        ins = [bands[n] for n in _BANDS]
+    in_spec = pl.BlockSpec(
+        (
+            pl.Element(qz + 2 * CZ, (0, pad_z)),
+            pl.Element(qy + 2 * CY, (0, pad_y)),
+            pl.Element(cx, (0, 0)),
+        ),
+        idx,
+        memory_space=pltpu.VMEM,
+    )
+
+    erz = cz - 1 - ((nz - 1) * qz - CZ)
+    ery = cy - 1 - ((nyy - 1) * qy - CY)
+    out_sd = jax.ShapeDtypeStruct((nz * tz, nyy * ty, w), lll.dtype)
+    out_spec = pl.BlockSpec(
+        (tz, ty, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _3d_inv_kernel, wavelet=wavelet, tz=tz, ty=ty, erz=erz, ery=ery,
+        nz=nz, nyy=nyy,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nz, nyy),
+        in_specs=[in_spec] * 8,
+        out_specs=out_spec,
+        out_shape=out_sd,
+        interpret=interpret,
+    )(*ins)
+    return out[:z, :y]

@@ -10,7 +10,8 @@ import numpy as np
 import pytest
 
 from libdwt_tpu import dwt3_level
-from libdwt_tpu.ops.fused3d import fused_dwt3_level
+from libdwt_tpu.ops.separable import idwt3_level
+from libdwt_tpu.ops.fused3d import fused_dwt3_level, fused_idwt3_level
 
 SHAPES = [(16, 16, 16), (32, 24, 40), (8, 32, 64), (24, 16, 128)]
 
@@ -56,3 +57,83 @@ def test_fused3d_rejects_odd():
     x = jnp.zeros((15, 16, 16), jnp.float32)
     with pytest.raises(ValueError, match="even"):
         fused_dwt3_level(x, "cdf97", interpret=True)
+
+
+def test_fused3d_ysplit_large_cross_section():
+    """A cross-section too large for a whole-slab VMEM window (the
+    round-1 limitation) must still run via the (z, y) tile grid."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(8, 512, 512).astype(np.float32))
+    want = dwt3_level(x, "cdf97")
+    got = fused_dwt3_level(x, "cdf97", interpret=True)
+    for k in got:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), atol=3e-5, rtol=0
+        )
+
+
+def test_fused3d_ystrip_invariance():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(8, 64, 32).astype(np.float32))
+    base = fused_dwt3_level(x, "cdf97", strip_z=8, strip_y=64, interpret=True)
+    got = fused_dwt3_level(x, "cdf97", strip_z=4, strip_y=16, interpret=True)
+    for k in got:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(base[k]), atol=3e-5, rtol=0
+        )
+
+
+# --------------------------------------------------------------- inverse
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53"])
+def test_fused3d_inverse_matches_oracle(shape, wavelet):
+    rng = np.random.RandomState(sum(shape) + 1)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    bands = dwt3_level(x, wavelet)
+    want = idwt3_level(dict(bands), wavelet)
+    got = fused_idwt3_level(bands, wavelet, strip_z=8, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=3e-5, rtol=0
+    )
+
+
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53"])
+def test_fused3d_inverse_int_bitexact(wavelet):
+    rng = np.random.RandomState(4)
+    x = jnp.asarray((rng.rand(16, 24, 32) * 255).astype(np.int32))
+    bands = dwt3_level(x, wavelet)
+    got = fused_idwt3_level(bands, wavelet, strip_z=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(x))
+
+
+def test_fused3d_roundtrip_fused_both_ways():
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(16, 32, 64).astype(np.float32))
+    bands = fused_dwt3_level(x, "cdf97", interpret=True)
+    rec = fused_idwt3_level(bands, "cdf97", interpret=True)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4, rtol=0)
+
+
+def test_fused3d_inverse_ysplit_large_cross_section():
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(8, 512, 512).astype(np.float32))
+    bands = dwt3_level(x, "cdf97")
+    got = fused_idwt3_level(bands, "cdf97", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x), atol=1e-4, rtol=0)
+
+
+def test_fused3d_short_last_tiles():
+    """Non-dividing tile grids: penultimate z/y tiles' windows cross the
+    volume end and must mirror-fill too."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(10, 34, 32).astype(np.float32))
+    want = dwt3_level(x, "cdf97")
+    got = fused_dwt3_level(x, "cdf97", strip_z=4, strip_y=16, interpret=True)
+    for k in got:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), atol=3e-5, rtol=0
+        )
+    rec = fused_idwt3_level(got, "cdf97", strip_z=4, strip_y=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4, rtol=0)
