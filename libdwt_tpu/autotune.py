@@ -1,64 +1,137 @@
-"""Autotuner over kernel strategy and strip size.
+"""Autotuner over kernel strategy and strip size, wired into dispatch.
 
-The reference exposes a 17-variant kernel catalog and perf drivers to
-pick the fastest (dwt_util_set_accel + examples/perf-plot*,
-/root/reference/src/dwt.h:58-235).  Here the search space is small by
-design — {separable, fused, 2-level fused} x strip rows — and this
-module measures the candidates on the live device and caches the
-winner per (shape, dtype, wavelet) key.
+The reference exposes a 17-variant kernel catalog, perf drivers to pick
+the fastest (dwt_util_set_accel + examples/perf-plot*,
+/root/reference/src/dwt.h:58-235), and leaves the choice to the user.
+Here the search space is {separable XLA, fused Pallas} x strip rows,
+measured ON THE LIVE DEVICE and cached two ways:
+
+  * in-process, exact-shape cache (this module's _CACHE)
+  * an on-disk table per device kind, bucketed by size
+    (``~/.cache/libdwt_tpu/autotune.json`` or $LIBDWT_TPU_TUNE_FILE),
+    which ``api._use_fused`` consults on every 'auto' dispatch — so
+    production dispatch uses measured crossovers, not hardcoded
+    thresholds, once ``tune_dispatch()`` (tools/tune.py) has run on the
+    device kind.
 
 Timings through remote-attached devices can drift between processes;
 the tuner therefore only compares measurements taken back-to-back in
-one process.
+one process, and fences completion by fetching a checksum scalar (see
+utils.perf.measure(fence=True)).
 """
 from __future__ import annotations
 
+import json
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from libdwt_tpu.ops.fused import fused_dwt2_level
-from libdwt_tpu.ops.separable import dwt2_level
 from libdwt_tpu.utils.perf import measure
 
-__all__ = ["autotune_dwt2", "best_config", "clear_cache"]
+__all__ = [
+    "autotune_dwt2",
+    "best_config",
+    "clear_cache",
+    "tune_dispatch",
+    "dispatch_choice",
+    "tune_file",
+]
 
 _CACHE: Dict[Tuple, Dict] = {}
+_DISK: Optional[Dict] = None  # lazily loaded {device_kind: {key: entry}}
 
-_STRIPS = (64, 128, 256)
+_STRIPS = (64, 96, 128, 256)
+#: size buckets for the dispatch table (min-edge, power-of-two floors)
+_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
 
 
 def clear_cache() -> None:
+    global _DISK
     _CACHE.clear()
+    _DISK = None
 
 
-def _key(shape, dtype, wavelet):
-    return (tuple(shape), jnp.dtype(dtype).name, str(wavelet))
+def tune_file() -> str:
+    env = os.environ.get("LIBDWT_TPU_TUNE_FILE")
+    if env:
+        return env
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "libdwt_tpu", "autotune.json"
+    )
+
+
+def _device_kind() -> str:
+    try:
+        return jax.devices()[0].device_kind
+    except Exception:
+        return "unknown"
+
+
+def _load_disk() -> Dict:
+    global _DISK
+    if _DISK is None:
+        try:
+            with open(tune_file()) as f:
+                _DISK = json.load(f)
+        except Exception:
+            _DISK = {}
+    return _DISK
+
+
+def _save_disk(table: Dict) -> None:
+    path = tune_file()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(table, f, indent=1, sort_keys=True)
+
+
+def _bucket(h: int, w: int) -> Optional[int]:
+    edge = min(h, w)
+    best = None
+    for b in _BUCKETS:
+        if edge >= b:
+            best = b
+    return best
+
+
+def _checksummed(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    s = sum(jnp.sum(leaf.reshape(-1)[:1].astype(jnp.float32)) for leaf in leaves)
+    return s, tree
+
+
+# ------------------------------------------------------- per-shape tuning
 
 
 def autotune_dwt2(shape, wavelet="cdf97", dtype=jnp.float32, trials: int = 5):
     """Measure candidates for a single-level 2-D transform of ``shape``
     and cache the fastest.  Returns the winning config dict."""
-    key = _key(shape, dtype, wavelet)
+    from libdwt_tpu.ops.fused import fused_dwt2_level, fused_supported
+    from libdwt_tpu.ops.separable import dwt2_level
+
+    key = (tuple(shape), jnp.dtype(dtype).name, str(wavelet))
     if key in _CACHE:
         return _CACHE[key]
     h, w = shape
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(h, w).astype(jnp.dtype(dtype)))
     results = []
-    sep = jax.jit(lambda a: dwt2_level(a, wavelet))
-    results.append(({"impl": "separable"}, measure(sep, x, trials=trials)))
-    if min(h, w) >= 32:
+    sep = jax.jit(lambda a: _checksummed(dwt2_level(a, wavelet)))
+    results.append(({"impl": "separable"}, measure(sep, x, trials=trials, fence=True)))
+    if min(h, w) >= 32 and fused_supported(wavelet):
         for strip in _STRIPS:
             if strip > h:
                 continue
             fn = jax.jit(
-                lambda a, s=strip: fused_dwt2_level(a, wavelet, strip_rows=s)
+                lambda a, s=strip: _checksummed(
+                    fused_dwt2_level(a, wavelet, strip_rows=s)
+                )
             )
             try:
-                t = measure(fn, x, trials=trials)
+                t = measure(fn, x, trials=trials, fence=True)
             except Exception:
                 continue
             results.append(({"impl": "fused", "strip_rows": strip}, t))
@@ -69,5 +142,96 @@ def autotune_dwt2(shape, wavelet="cdf97", dtype=jnp.float32, trials: int = 5):
 
 
 def best_config(shape, wavelet="cdf97", dtype=jnp.float32) -> Optional[Dict]:
-    """Cached winner for a shape, or None if not tuned yet."""
-    return _CACHE.get(_key(shape, dtype, wavelet))
+    """Cached winner for an exact shape, or None if not tuned yet."""
+    return _CACHE.get((tuple(shape), jnp.dtype(dtype).name, str(wavelet)))
+
+
+# --------------------------------------------------- dispatch-level tuning
+
+
+def _pyramid_candidates(n: int, wavelet, dtype, levels: int):
+    """(name, jitted fn) candidates for a full wavedec2 pyramid."""
+    from libdwt_tpu.ops.fused import fused_wavedec2
+    from libdwt_tpu.ops.separable import wavedec2 as sep_wavedec2
+
+    cands = [
+        (
+            "separable",
+            jax.jit(lambda a: _checksummed(sep_wavedec2(a, wavelet, levels))),
+        )
+    ]
+    from libdwt_tpu.ops.fused import fused_supported
+
+    if fused_supported(wavelet):
+        cands.append(
+            (
+                "fused",
+                jax.jit(
+                    lambda a: _checksummed(fused_wavedec2(a, wavelet, levels))
+                ),
+            )
+        )
+    return cands
+
+
+def tune_dispatch(
+    sizes=( 256, 512, 1024, 2048),
+    wavelet="cdf97",
+    dtype=jnp.float32,
+    levels: int = 3,
+    trials: int = 10,
+    save: bool = True,
+) -> Dict:
+    """Measure the full-pyramid separable-vs-fused crossover at each
+    size bucket on the live device and persist the winners; 'auto'
+    dispatch then uses the measured table (the perf-driver-informed
+    accel selection of /root/reference/src/libdwt.h:1703-1726)."""
+    kind = _device_kind()
+    table = dict(_load_disk())
+    mine = dict(table.get(kind, {}))
+    rng = np.random.RandomState(0)
+    for n in sizes:
+        x = jnp.asarray(rng.rand(n, n).astype(jnp.dtype(dtype)))
+        rows = {}
+        for name, fn in _pyramid_candidates(n, wavelet, dtype, levels):
+            try:
+                rows[name] = measure(fn, x, trials=trials, fence=True)
+            except Exception:
+                continue
+        if not rows:
+            continue
+        winner = min(rows, key=rows.get)
+        mine[f"{n}:{jnp.dtype(dtype).name}:{wavelet}"] = {
+            "impl": winner,
+            "secs": rows,
+        }
+    table[kind] = mine
+    if save:
+        _save_disk(table)
+    global _DISK
+    _DISK = table
+    return mine
+
+
+def dispatch_choice(h: int, w: int, dtype, wavelet) -> Optional[str]:
+    """Measured 'auto' dispatch choice for a shape, or None when the
+    device kind / bucket has not been tuned (caller falls back to its
+    built-in heuristic)."""
+    disk = _load_disk()
+    mine = disk.get(_device_kind())
+    if not mine:
+        return None
+    b = _bucket(h, w)
+    if b is None:
+        return None
+    key = f"{b}:{jnp.dtype(dtype).name}:{get_name(wavelet)}"
+    entry = mine.get(key)
+    if entry is None:
+        return None
+    return entry.get("impl")
+
+
+def get_name(wavelet) -> str:
+    from libdwt_tpu.models.wavelets import get_wavelet
+
+    return get_wavelet(wavelet).name

@@ -85,9 +85,9 @@ def _exchange_rows_fwd(x: jax.Array, axis_name: str) -> jax.Array:
 
 
 def _exchange_channels_inv(
-    s: jax.Array, d: jax.Array, axis_name: str
+    s: jax.Array, d: jax.Array, axis_name: str, ch: int = CH
 ) -> Tuple[jax.Array, jax.Array]:
-    """Extend local low/high channel blocks by CH rows each side.
+    """Extend local low/high channel blocks by ``ch`` rows each side.
 
     Channel-domain whole-point mirror (derived from x[-k] = x[k] with
     s[i] = x[2i], d[i] = x[2i+1], global level length even):
@@ -100,21 +100,21 @@ def _exchange_channels_inv(
     up_perm = [(i + 1, i) for i in range(n_dev - 1)]
 
     def ext(c, top_mirror, bot_mirror):
-        from_above = jax.lax.ppermute(c[..., -CH:, :], axis_name, down_perm)
-        from_below = jax.lax.ppermute(c[..., :CH, :], axis_name, up_perm)
+        from_above = jax.lax.ppermute(c[..., -ch:, :], axis_name, down_perm)
+        from_below = jax.lax.ppermute(c[..., :ch, :], axis_name, up_perm)
         top = jnp.where(idx == 0, top_mirror, from_above)
         bot = jnp.where(idx == n_dev - 1, bot_mirror, from_below)
         return jnp.concatenate([top, c, bot], axis=-2)
 
     s_ext = ext(
         s,
-        s[..., 1 : CH + 1, :][..., ::-1, :],
-        s[..., -CH:, :][..., ::-1, :],
+        s[..., 1 : ch + 1, :][..., ::-1, :],
+        s[..., -ch:, :][..., ::-1, :],
     )
     d_ext = ext(
         d,
-        d[..., 0:CH, :][..., ::-1, :],
-        d[..., -CH - 1 : -1, :][..., ::-1, :],
+        d[..., 0:ch, :][..., ::-1, :],
+        d[..., -ch - 1 : -1, :][..., ::-1, :],
     )
     return s_ext, d_ext
 
@@ -163,6 +163,21 @@ def _level_inv_local(ll, hl, lh, hh, wavelet, axis_name):
     l = _col_inv(ll, lh, wavelet, axis_name)
     h = _col_inv(hl, hh, wavelet, axis_name)
     return lift_inv(l, h, wavelet, axis=-1)
+
+
+def _level_inv_local_fused(ll, hl, lh, hh, wavelet, axis_name, interpret):
+    """Fused-kernel inverse variant: exchange a 4-row channel halo per
+    band pair once, then run the single-loop Pallas inverse strip
+    kernel on the extended local blocks (boundary_rows='extended'),
+    keeping both inverse passes in one VMEM residency per shard."""
+    from libdwt_tpu.ops.fused import CH as FCH, fused_idwt2_level
+
+    ll_e, lh_e = _exchange_channels_inv(ll, lh, axis_name, ch=FCH)
+    hl_e, hh_e = _exchange_channels_inv(hl, hh, axis_name, ch=FCH)
+    return fused_idwt2_level(
+        ll_e, hl_e, lh_e, hh_e, wavelet,
+        interpret=interpret, boundary_rows="extended",
+    )
 
 
 # ------------------------------------------------------------- public entry
@@ -241,8 +256,15 @@ def sharded_waverec2(
     mesh: Mesh,
     space_axis: str = "space",
     data_axis: Optional[str] = "data",
+    use_fused: bool = False,
+    interpret: bool = False,
 ):
-    """Inverse of :func:`sharded_wavedec2` (same sharding convention)."""
+    """Inverse of :func:`sharded_wavedec2` (same sharding convention).
+
+    ``use_fused=True`` runs the per-shard inverse through the
+    single-loop Pallas strip kernel after a channel-halo exchange;
+    needs 2-D local blocks with even channel row counts.
+    """
     wavelet = get_wavelet(wavelet)
     level = len(coeffs) - 1
     ll = coeffs[0]
@@ -254,11 +276,17 @@ def sharded_waverec2(
     def local_fn(cs):
         ll = cs[0]
         for hl, lh, hh in cs[1:]:
-            ll = _level_inv_local(ll, hl, lh, hh, wavelet, space_axis)
+            if use_fused and ll.ndim == 2:
+                ll = _level_inv_local_fused(
+                    ll, hl, lh, hh, wavelet, space_axis, interpret
+                )
+            else:
+                ll = _level_inv_local(ll, hl, lh, hh, wavelet, space_axis)
         return ll
 
     return jax.shard_map(
-        local_fn, mesh=mesh, in_specs=(in_specs,), out_specs=spec
+        local_fn, mesh=mesh, in_specs=(in_specs,), out_specs=spec,
+        check_vma=not use_fused,
     )(coeffs)
 
 

@@ -163,3 +163,45 @@ def test_sharded_fused_int_bitexact():
     got = sharded_wavedec2(x, "cdf53", 1, mesh=mesh, use_fused=True, interpret=True)
     for a, b in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53"])
+def test_sharded_fused_inverse_matches_oracle(wavelet):
+    """Per-shard fused Pallas INVERSE (channel-halo exchange +
+    boundary_rows='extended') vs the unsharded round trip."""
+    mesh = make_mesh_2d(1, 4)
+    level = 2
+    h = 4 * (1 << level) * 16
+    w = 96
+    x = jnp.asarray(make_test_image(h, w, dtype=np.float32))
+    coeffs = wavedec2(x, wavelet, level)
+    rec = sharded_waverec2(
+        coeffs, wavelet, mesh=mesh, use_fused=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-3, rtol=0)
+
+
+def test_sharded_fused_inverse_int_bitexact():
+    mesh = make_mesh_2d(1, 4)
+    h, w = 4 * 2 * 16, 64
+    x = jnp.asarray(make_test_image(h, w, dtype=np.int32))
+    coeffs = wavedec2(x, "cdf53", 1)
+    rec = sharded_waverec2(
+        coeffs, "cdf53", mesh=mesh, use_fused=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(x))
+
+
+def test_sharded_fused_roundtrip_both_ways():
+    mesh = make_mesh_2d(2, 4)
+    level = 2
+    h = 4 * (1 << level) * 16
+    x = jnp.asarray(
+        np.random.RandomState(2).randn(2, h, 128).astype(np.float32)
+    )
+    # batched inputs route per-level locals through the jnp path, but the
+    # 2-D per-frame case must round-trip through both fused directions
+    xf = x[0]
+    c = sharded_wavedec2(xf, "cdf97", level, mesh=mesh, use_fused=True, interpret=True)
+    rec = sharded_waverec2(c, "cdf97", mesh=mesh, use_fused=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(xf), atol=1e-3, rtol=0)

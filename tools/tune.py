@@ -1,0 +1,50 @@
+"""Tune the 'auto' dispatch table on the live device.
+
+Runs the separable-vs-fused pyramid crossover measurement at each size
+bucket (libdwt_tpu.autotune.tune_dispatch) and persists the winners to
+the on-disk table that api._use_fused consults.  Run once per device
+kind:
+
+    python tools/tune.py [--sizes 256,512,1024,2048] [--out FILE]
+
+The analogue of sweeping the reference's accel types with its perf
+drivers and calling dwt_util_set_accel with the winner
+(/root/reference/src/libdwt.h:1703-1726, examples/perf-plot*).
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="256,512,1024,2048")
+    ap.add_argument("--wavelet", default="cdf97")
+    ap.add_argument("--levels", type=int, default=3)
+    ap.add_argument("--trials", type=int, default=10)
+    ap.add_argument("--out", default=None, help="override tune-file path")
+    args = ap.parse_args()
+    if args.out:
+        os.environ["LIBDWT_TPU_TUNE_FILE"] = args.out
+
+    import jax
+
+    from libdwt_tpu import autotune
+
+    sizes = tuple(int(s) for s in args.sizes.split(","))
+    print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
+    table = autotune.tune_dispatch(
+        sizes=sizes,
+        wavelet=args.wavelet,
+        levels=args.levels,
+        trials=args.trials,
+    )
+    print(json.dumps(table, indent=1, sort_keys=True))
+    print(f"saved to {autotune.tune_file()}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
