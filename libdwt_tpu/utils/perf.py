@@ -26,16 +26,33 @@ from libdwt_tpu.utils import nativelib
 __all__ = ["measure", "measure_perf_2d", "save_tsv", "page_faults", "info"]
 
 
-def measure(fn: Callable, *args, trials: int = 5, warmup: int = 1) -> float:
+def measure(
+    fn: Callable, *args, trials: int = 5, warmup: int = 1, fence: bool = False
+) -> float:
     """Min-of-N wall seconds of ``fn(*args)`` including device time
     (the reference's min-of-N rule, /root/reference/src/libdwt.c:21441-21481;
-    cache flushing between runs is meaningless for HBM-resident data)."""
+    cache flushing between runs is meaningless for HBM-resident data).
+
+    ``fence=True``: ``fn`` must return a pytree whose FIRST leaf is a
+    scalar checksum computed from its outputs; completion is forced by
+    fetching that scalar.  Through a remote transport,
+    ``block_until_ready`` has been observed to report readiness before
+    the device finishes, but a device->host literal read cannot be
+    faked — use fenced mode for any timing that feeds a decision.
+    """
+
+    def wait(out):
+        if fence:
+            float(jax.device_get(jax.tree_util.tree_leaves(out)[0]))
+        else:
+            jax.block_until_ready(out)
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        wait(fn(*args))
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        wait(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
