@@ -58,6 +58,14 @@ class Image:
         return cls(jnp.asarray(dio.load_mat(path)))
 
     @classmethod
+    def load_exr(cls, path: str) -> "Image":
+        """HDR float image via the native EXR codec (the reference's
+        examples/hdr/exr.h analogue).  Single-channel files load as
+        (H, W); multi-channel as (H, W, C) in R, G, B, A order."""
+        img, _ = dio.read_exr(path)
+        return cls(jnp.asarray(img[:, :, 0] if img.shape[2] == 1 else img))
+
+    @classmethod
     def test_pattern(cls, size_y: int, size_x: int, rand: int = 0,
                      dtype=np.float32) -> "Image":
         """dwt_util_test_image_fill_s analogue
@@ -71,6 +79,9 @@ class Image:
 
     def save_mat(self, path: str) -> None:
         dio.save_mat(path, np.asarray(self.data))
+
+    def save_exr(self, path: str) -> None:
+        dio.write_exr(path, np.asarray(self.data, np.float32))
 
     # ------------------------------------------------------------ access
 

@@ -25,6 +25,8 @@ __all__ = [
     "save_mat",
     "save_svm",
     "load_svm",
+    "read_exr",
+    "write_exr",
 ]
 
 
@@ -190,3 +192,6 @@ def load_svm(path: str) -> Tuple[np.ndarray, np.ndarray]:
         for k, v in row.items():
             feats[i, k - 1] = v
     return np.asarray(labels, np.float32), feats
+
+
+from libdwt_tpu.utils.exr import read_exr, write_exr  # noqa: E402
