@@ -70,13 +70,22 @@ def _device_kind() -> str:
         return "unknown"
 
 
+def _packaged_table() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "autotune.json")
+
+
 def _load_disk() -> Dict:
     global _DISK
     if _DISK is None:
-        try:
-            with open(tune_file()) as f:
-                _DISK = json.load(f)
-        except Exception:
+        for path in (tune_file(), _packaged_table()):
+            try:
+                with open(path) as f:
+                    _DISK = json.load(f)
+                break
+            except Exception:
+                continue
+        else:
             _DISK = {}
     return _DISK
 
@@ -149,37 +158,56 @@ def best_config(shape, wavelet="cdf97", dtype=jnp.float32) -> Optional[Dict]:
 # --------------------------------------------------- dispatch-level tuning
 
 
-def _pyramid_candidates(n: int, wavelet, dtype, levels: int):
-    """(name, jitted fn) candidates for a full wavedec2 pyramid."""
-    from libdwt_tpu.ops.fused import fused_wavedec2
+def _pyramid_candidates(wavelet, levels: int):
+    """(name, per-frame fn) candidates for a full wavedec2 pyramid."""
+    from libdwt_tpu.ops.fused import fused_supported, fused_wavedec2
     from libdwt_tpu.ops.separable import wavedec2 as sep_wavedec2
 
-    cands = [
-        (
-            "separable",
-            jax.jit(lambda a: _checksummed(sep_wavedec2(a, wavelet, levels))),
-        )
-    ]
-    from libdwt_tpu.ops.fused import fused_supported
-
+    cands = [("separable", lambda a: sep_wavedec2(a, wavelet, levels))]
     if fused_supported(wavelet):
-        cands.append(
-            (
-                "fused",
-                jax.jit(
-                    lambda a: _checksummed(fused_wavedec2(a, wavelet, levels))
-                ),
-            )
-        )
+        cands.append(("fused", lambda a: fused_wavedec2(a, wavelet, levels)))
     return cands
 
 
+def _chain_slope_secs(frame_fn, n, dtype, ka=8, kb=32, trials: int = 8):
+    """Per-frame seconds via the two-length chain slope: each trial is
+    one fenced dispatch of a scan over K stacked frames; the slope
+    between the two lengths cancels the transport's fixed round-trip
+    cost, inside which short-chain execution can hide entirely (see
+    bench.py)."""
+    import time
+
+    rng = np.random.RandomState(0)
+    stacks = {
+        k: jnp.asarray(rng.rand(k, n, n).astype(jnp.dtype(dtype)))
+        for k in (ka, kb)
+    }
+
+    def chain(stack):
+        out = jax.lax.scan(lambda _, x: (None, frame_fn(x)), None, stack)[1]
+        return _checksummed(out)
+
+    fn = jax.jit(chain)
+    for k in (ka, kb):
+        float(jax.device_get(jax.tree_util.tree_leaves(fn(stacks[k]))[0]))
+    best = {ka: float("inf"), kb: float("inf")}
+    for _ in range(trials):
+        for k in (ka, kb):
+            t0 = time.perf_counter()
+            out = fn(stacks[k])
+            float(jax.device_get(jax.tree_util.tree_leaves(out)[0]))
+            best[k] = min(best[k], time.perf_counter() - t0)
+    slope = (best[kb] - best[ka]) / (kb - ka)
+    upper = best[kb] / kb
+    return slope if 0.0 < slope <= upper else upper
+
+
 def tune_dispatch(
-    sizes=( 256, 512, 1024, 2048),
+    sizes=(256, 512, 1024, 2048),
     wavelet="cdf97",
     dtype=jnp.float32,
     levels: int = 3,
-    trials: int = 10,
+    trials: int = 8,
     save: bool = True,
 ) -> Dict:
     """Measure the full-pyramid separable-vs-fused crossover at each
@@ -189,13 +217,11 @@ def tune_dispatch(
     kind = _device_kind()
     table = dict(_load_disk())
     mine = dict(table.get(kind, {}))
-    rng = np.random.RandomState(0)
     for n in sizes:
-        x = jnp.asarray(rng.rand(n, n).astype(jnp.dtype(dtype)))
         rows = {}
-        for name, fn in _pyramid_candidates(n, wavelet, dtype, levels):
+        for name, frame_fn in _pyramid_candidates(wavelet, levels):
             try:
-                rows[name] = measure(fn, x, trials=trials, fence=True)
+                rows[name] = _chain_slope_secs(frame_fn, n, dtype, trials=trials)
             except Exception:
                 continue
         if not rows:
