@@ -69,7 +69,10 @@ def _mirror_head_ax(a, center: int, count: int, axis: int, repeat: bool):
     """Fill rows [center-count, center) of ``axis`` with the mirror of
     the rows at/after ``center``: whole-point (idx center-m := center+m)
     or repeat (:= center+m-1).  Rows below center-count are kept."""
-    parts = [_slice_ax(a, 0, center - count, axis)]
+    # skip zero-size parts: Mosaic rejects 0-extent vectors
+    parts = (
+        [_slice_ax(a, 0, center - count, axis)] if center > count else []
+    )
     for m in range(count, 0, -1):
         src = center + m - 1 if repeat else center + m
         parts.append(_slice_ax(a, src, 1, axis))
