@@ -63,7 +63,10 @@ def _on_tpu() -> bool:
         return False
 
 
-def _use_fused(h: int, w: int, wavelet, impl: Optional[str], dtype=None) -> bool:
+def _use_fused(
+    h: int, w: int, wavelet, impl: Optional[str], dtype=None,
+    direction: str = "fwd",
+) -> bool:
     impl = impl or _default_impl
     if impl == "separable":
         return False
@@ -81,11 +84,12 @@ def _use_fused(h: int, w: int, wavelet, impl: Optional[str], dtype=None) -> bool
         return False
     # 'auto': prefer the measured crossover table (tools/tune.py runs
     # tune_dispatch on the live device); fall back to the built-in
-    # threshold for untuned device kinds / buckets.
+    # threshold for untuned device kinds / buckets.  Forward and inverse
+    # have separate tables (the synthesis kernel's crossover differs).
     if dtype is not None:
         from libdwt_tpu.autotune import dispatch_choice
 
-        choice = dispatch_choice(h, w, dtype, wavelet)
+        choice = dispatch_choice(h, w, dtype, wavelet, direction)
         if choice is not None:
             return choice == "fused"
     return min(h, w) >= _AUTO_MIN_SIZE
@@ -125,7 +129,7 @@ def idwt2(ll, hl, lh, hh, wavelet="cdf97", impl: Optional[str] = None,
     w = ll.shape[-1] + hh.shape[-1]
     if border != "mirror":
         return _sep.idwt2_level(ll, hl, lh, hh, wavelet, border=border)
-    if _use_fused(h, w, wavelet, impl, ll.dtype):
+    if _use_fused(h, w, wavelet, impl, ll.dtype, direction="inv"):
         interp = not _on_tpu()
         if ll.ndim == 2:
             return fused_idwt2_level(ll, hl, lh, hh, wavelet, interpret=interp)
@@ -188,7 +192,8 @@ def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None,
     if len(coeffs) > 1 and border == "mirror":
         h = coeffs[-1][0].shape[-2] + coeffs[-1][1].shape[-2]
         w = coeffs[-1][0].shape[-1] + coeffs[-1][1].shape[-1]
-        if _use_fused(h, w, wavelet, impl, ll.dtype) and ll.ndim == 2:
+        if _use_fused(h, w, wavelet, impl, ll.dtype, direction="inv") \
+                and ll.ndim == 2:
             from libdwt_tpu.ops.fused import fused_waverec2
 
             return fused_waverec2(coeffs, wavelet, interpret=not _on_tpu())

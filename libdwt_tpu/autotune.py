@@ -158,14 +158,32 @@ def best_config(shape, wavelet="cdf97", dtype=jnp.float32) -> Optional[Dict]:
 # --------------------------------------------------- dispatch-level tuning
 
 
-def _pyramid_candidates(wavelet, levels: int):
-    """(name, per-frame fn) candidates for a full wavedec2 pyramid."""
-    from libdwt_tpu.ops.fused import fused_supported, fused_wavedec2
+def _pyramid_candidates(wavelet, levels: int, direction: str = "fwd"):
+    """(name, per-frame fn) candidates for a full wavedec2/waverec2
+    pyramid.  ``direction='inv'`` candidates take the same frame input
+    and run forward+inverse, so the separable-vs-fused DIFFERENCE is the
+    inverse cost (the forward part is identical, the shared fixed cost
+    cancels in the comparison)."""
+    from libdwt_tpu.ops.fused import (
+        fused_supported, fused_wavedec2, fused_waverec2,
+    )
     from libdwt_tpu.ops.separable import wavedec2 as sep_wavedec2
+    from libdwt_tpu.ops.separable import waverec2 as sep_waverec2
 
-    cands = [("separable", lambda a: sep_wavedec2(a, wavelet, levels))]
+    if direction == "fwd":
+        cands = [("separable", lambda a: sep_wavedec2(a, wavelet, levels))]
+        if fused_supported(wavelet):
+            cands.append(("fused", lambda a: fused_wavedec2(a, wavelet, levels)))
+        return cands
+    cands = [
+        ("separable",
+         lambda a: sep_waverec2(sep_wavedec2(a, wavelet, levels), wavelet))
+    ]
     if fused_supported(wavelet):
-        cands.append(("fused", lambda a: fused_wavedec2(a, wavelet, levels)))
+        cands.append(
+            ("fused",
+             lambda a: fused_waverec2(sep_wavedec2(a, wavelet, levels), wavelet))
+        )
     return cands
 
 
@@ -218,19 +236,23 @@ def tune_dispatch(
     table = dict(_load_disk())
     mine = dict(table.get(kind, {}))
     for n in sizes:
-        rows = {}
-        for name, frame_fn in _pyramid_candidates(wavelet, levels):
-            try:
-                rows[name] = _chain_slope_secs(frame_fn, n, dtype, trials=trials)
-            except Exception:
+        for direction in ("fwd", "inv"):
+            rows = {}
+            for name, frame_fn in _pyramid_candidates(wavelet, levels, direction):
+                try:
+                    rows[name] = _chain_slope_secs(
+                        frame_fn, n, dtype, trials=trials
+                    )
+                except Exception:
+                    continue
+            if not rows:
                 continue
-        if not rows:
-            continue
-        winner = min(rows, key=rows.get)
-        mine[f"{n}:{jnp.dtype(dtype).name}:{wavelet}"] = {
-            "impl": winner,
-            "secs": rows,
-        }
+            winner = min(rows, key=rows.get)
+            suffix = "" if direction == "fwd" else ":inv"
+            mine[f"{n}:{jnp.dtype(dtype).name}:{wavelet}{suffix}"] = {
+                "impl": winner,
+                "secs": rows,
+            }
     table[kind] = mine
     if save:
         _save_disk(table)
@@ -239,10 +261,15 @@ def tune_dispatch(
     return mine
 
 
-def dispatch_choice(h: int, w: int, dtype, wavelet) -> Optional[str]:
+def dispatch_choice(
+    h: int, w: int, dtype, wavelet, direction: str = "fwd"
+) -> Optional[str]:
     """Measured 'auto' dispatch choice for a shape, or None when the
     device kind / bucket has not been tuned (caller falls back to its
-    built-in heuristic)."""
+    built-in heuristic).  ``direction='inv'`` consults the inverse
+    crossover table (the fused synthesis and analysis kernels have
+    different measured crossovers); it falls back to the forward entry
+    for tables written before the direction split."""
     disk = _load_disk()
     mine = disk.get(_device_kind())
     if not mine:
@@ -250,8 +277,12 @@ def dispatch_choice(h: int, w: int, dtype, wavelet) -> Optional[str]:
     b = _bucket(h, w)
     if b is None:
         return None
-    key = f"{b}:{jnp.dtype(dtype).name}:{get_name(wavelet)}"
-    entry = mine.get(key)
+    base = f"{b}:{jnp.dtype(dtype).name}:{get_name(wavelet)}"
+    entry = None
+    if direction == "inv":
+        entry = mine.get(base + ":inv")
+    if entry is None:
+        entry = mine.get(base)
     if entry is None:
         return None
     return entry.get("impl")
