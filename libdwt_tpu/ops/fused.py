@@ -86,7 +86,7 @@ def _strip_params():
 
 
 #: target input-window bytes per strip (tunable; see _pick_strip_rows).
-_STRIP_TARGET_BYTES = 1024 * 1024
+_STRIP_TARGET_BYTES = 6 * 1024 * 1024
 #: largest image the deep-pyramid kernel holds in VMEM (536x1024 f32 =
 #: 2.24MB verified compiling on v5e; ~6 live copies inside the 16MB limit).
 _DEEP_VMEM_LIMIT = int(2.4 * 1024 * 1024)
@@ -203,18 +203,19 @@ def _even(n: int) -> int:
 
 
 def _pick_strip_rows(wc: int, itemsize: int, inverse: bool) -> int:
-    """Strip height targeting a ~1 MB input window (multiple of 16 so
+    """Strip height targeting a ~6 MB input window (multiple of 16 so
     the half-resolution blocks stay 8-aligned).
 
-    Empirically on v5e, many small strips beat few large ones — the
-    grid pipeline overlaps DMA with compute better (64-row strips on a
-    4K frame reach ~1 TB/s effective vs ~0.96 TB/s at 512 rows) — as
-    long as the strip amortizes the halo (ty >> 2*HALO).  The VMEM
-    budget only binds for very wide images.
+    The lane-polyphase kernel bodies measured fastest with LARGE strips
+    on v5e (the 2-level kernel: 0.377 ms/frame at 416 rows vs 0.524 at
+    128, chain-slope protocol on 2144x4096) — the per-strip compute
+    amortizes the halo re-read, and _strip_params raises the scoped
+    VMEM ceiling to fit the live set.  The cap keeps several
+    window-sized live copies under that ceiling for very wide images.
     """
     bytes_per_row = (wc + 2 * HALO) * itemsize
     target = _STRIP_TARGET_BYTES
-    cap = _VMEM_BUDGET // ((6 if inverse else 5) * bytes_per_row)
+    cap = _VMEM_LIMIT // ((12 if inverse else 10) * bytes_per_row)
     ty = min(target // bytes_per_row, cap)
     ty = max(16, min(512, (ty // 16) * 16))
     return ty
@@ -261,9 +262,35 @@ def _merge_sub(a, b):
 # /root/reference/src/inline-sdl.h:22-94).
 
 
-def _poly_lift_ch(s, d, wavelet: Wavelet, inverse: bool, edges=(False, False)):
+def _shift_next(x, axis: int, fix: bool):
+    """Neighbour at channel index i+1 along ``axis``; with ``fix`` the
+    past-the-end entry is its whole-point mirror (x[L]=x[L-2] ->
+    s[N] := s[N-1]) instead of the roll's wrap-around."""
+    if not fix:
+        return jnp.roll(x, -1, axis=axis)
+    if axis == 0:
+        return jnp.concatenate([x[1:], x[-1:]], axis=0)
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=axis)
+    return jnp.where(ids == x.shape[axis] - 1, x, jnp.roll(x, -1, axis=axis))
+
+
+def _shift_prev(x, axis: int, fix: bool):
+    """Neighbour at channel index i-1 along ``axis``; with ``fix`` the
+    before-the-start entry is its whole-point mirror (x[-1]=x[1] ->
+    d[-1] := d[0])."""
+    if not fix:
+        return jnp.roll(x, 1, axis=axis)
+    if axis == 0:
+        return jnp.concatenate([x[:1], x[:-1]], axis=0)
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=axis)
+    return jnp.where(ids == 0, x, jnp.roll(x, 1, axis=axis))
+
+
+def _poly_lift_ch(
+    s, d, wavelet: Wavelet, inverse: bool, edges=(False, False), axis: int = 0
+):
     """All lifting steps of ``wavelet`` on polyphase channel arrays
-    along axis 0 (even total signal length).
+    along ``axis`` (even total signal length).
 
     ``edges = (fix_low, fix_high)``: where True, the out-of-signal
     neighbour at the array end is replaced by its whole-point mirror
@@ -272,6 +299,11 @@ def _poly_lift_ch(s, d, wavelet: Wavelet, inverse: bool, edges=(False, False)):
     expressed in the channel domain.  Where False, the wrap-around
     roll's contamination stays within the caller's halo rows (≤ one
     channel row per step from each end).
+
+    ``axis=1`` keeps the lifted axis in LANES, where Mosaic lowers a
+    shift-by-one to a cheap lane rotate; sublane (axis 0) shifts are
+    ~4x more expensive on v5e and measured as the dominant cost of the
+    strip kernels.
 
     Arithmetic is identical to the interleaved path (and to the
     reference's C expressions), so integer results stay bit-exact.
@@ -296,23 +328,9 @@ def _poly_lift_ch(s, d, wavelet: Wavelet, inverse: bool, edges=(False, False)):
         # entirely when its weight is zero (Haar/D4 one-sided steps)
         if st.target == "d":
             l = s if wl else None
-            if wr:
-                r = (
-                    jnp.concatenate([s[1:], s[-1:]], axis=0)
-                    if fix_high
-                    else jnp.roll(s, -1, axis=0)
-                )
-            else:
-                r = None
+            r = _shift_next(s, axis, fix_high) if wr else None
         else:
-            if wl:
-                l = (
-                    jnp.concatenate([d[:1], d[:-1]], axis=0)
-                    if fix_low
-                    else jnp.roll(d, 1, axis=0)
-                )
-            else:
-                l = None
+            l = _shift_prev(d, axis, fix_low) if wl else None
             r = d if wr else None
 
         if is_int:
@@ -376,29 +394,57 @@ def _analysis2d_poly(t, wavelet: Wavelet, row_edges=(False, False)):
     transpose sandwich once instead of per-step rolls.
     ``row_edges`` applies the in-step whole-point mirror at the true
     left/right signal ends (the lane direction).
+
+    Integer tiles lift rows-then-columns with sublane shifts — the
+    reference's axis order (/root/reference/src/libdwt.c:12829-12894),
+    which the bit-exact golden parity requires (integer lifting does
+    not commute across axes).  Float tiles lift columns-then-rows so
+    that every shift lands on the LANE axis (six transposes, which
+    Mosaic handles nearly for free, versus ~4x-priced sublane shifts);
+    float axis order only moves last-ulp rounding.
     """
-    tT = t.T
-    sT, dT = _deint_sub(tT)  # lane polyphase via the transpose sandwich
-    sT, dT = _poly_lift_ch(sT, dT, wavelet, False, row_edges)
-    L, H = sT.T, dT.T  # (H, W/2) each: low / high x-lanes
-    sL, dL = _deint_sub(L)
-    sL, dL = _poly_lift_ch(sL, dL, wavelet, False)
-    sH, dH = _deint_sub(H)
-    sH, dH = _poly_lift_ch(sH, dH, wavelet, False)
-    # (ll, hl, lh, hh) = (even y of L, even y of H, odd y of L, odd y of H)
-    return _scale4(sL, sH, dL, dH, wavelet, False)
+    if jnp.issubdtype(t.dtype, jnp.integer):
+        tT = t.T
+        sT, dT = _deint_sub(tT)  # lane polyphase via the transpose sandwich
+        sT, dT = _poly_lift_ch(sT, dT, wavelet, False, row_edges)
+        L, H = sT.T, dT.T  # (H, W/2) each: low / high x-lanes
+        sL, dL = _deint_sub(L)
+        sL, dL = _poly_lift_ch(sL, dL, wavelet, False)
+        sH, dH = _deint_sub(H)
+        sH, dH = _poly_lift_ch(sH, dH, wavelet, False)
+        # (ll, hl, lh, hh) = (even y of L, even y of H, odd y of L, odd y of H)
+        return _scale4(sL, sH, dL, dH, wavelet, False)
+    # float: columns first, all shifts in lanes
+    a, b = _deint_sub(t)  # (H/2, W): even / odd y rows
+    aT, bT = a.T, b.T  # (W, H/2): channel axis now in lanes
+    aT, bT = _poly_lift_ch(aT, bT, wavelet, False, axis=1)  # column lifting
+    ls, ld = _deint_sub(aT)  # (W/2, H/2): x-channels of the y-lowpass
+    ll, hl = _poly_lift_ch(ls.T, ld.T, wavelet, False, row_edges, axis=1)
+    hs, hd = _deint_sub(bT)  # x-channels of the y-highpass
+    lh, hh = _poly_lift_ch(hs.T, hd.T, wavelet, False, row_edges, axis=1)
+    return _scale4(ll, hl, lh, hh, wavelet, False)
 
 
 def _synthesis2d_poly(ll, hl, lh, hh, wavelet: Wavelet, row_edges=(False, False)):
-    """Columns-then-rows 2-D lifting synthesis from channel quadrants
-    -> interleaved tile (2H, 2W) (inverse of :func:`_analysis2d_poly`)."""
+    """2-D lifting synthesis from channel quadrants -> interleaved tile
+    (2H, 2W) (inverse of :func:`_analysis2d_poly`).  Axis order mirrors
+    the analysis: columns-then-rows for int, rows-then-columns (all
+    shifts in lanes) for float."""
     ll, hl, lh, hh = _scale4(ll, hl, lh, hh, wavelet, True)
-    sL, dL = _poly_lift_ch(ll, lh, wavelet, True)
-    sH, dH = _poly_lift_ch(hl, hh, wavelet, True)
-    L = _merge_sub(sL, dL)
-    H = _merge_sub(sH, dH)
-    sT, dT = _poly_lift_ch(L.T, H.T, wavelet, True, row_edges)
-    return _merge_sub(sT, dT).T
+    if jnp.issubdtype(ll.dtype, jnp.integer):
+        sL, dL = _poly_lift_ch(ll, lh, wavelet, True)
+        sH, dH = _poly_lift_ch(hl, hh, wavelet, True)
+        L = _merge_sub(sL, dL)
+        H = _merge_sub(sH, dH)
+        sT, dT = _poly_lift_ch(L.T, H.T, wavelet, True, row_edges)
+        return _merge_sub(sT, dT).T
+    # float: rows first, all shifts in lanes
+    se, de = _poly_lift_ch(ll, hl, wavelet, True, row_edges, axis=1)
+    Et = _merge_sub(se.T, de.T)  # (W, H/2): even y rows, transposed
+    so, do = _poly_lift_ch(lh, hh, wavelet, True, row_edges, axis=1)
+    Ot = _merge_sub(so.T, do.T)  # (W, H/2): odd y rows, transposed
+    aT, bT = _poly_lift_ch(Et, Ot, wavelet, True, axis=1)  # column synthesis
+    return _merge_sub(aT.T, bT.T)  # (2H, 2W)
 
 
 # ---------------------------------------------------------- forward kernel
@@ -696,11 +742,19 @@ def fused_dwt2_2level(
         raise ValueError("image too small for the 2-level fused kernel")
 
     wc = w
-    # 192-row strips measured fastest for the polyphase body on v5e
-    # (0.580 ms/frame vs 0.674 at 128 and 0.694 at 256, chain-slope
-    # protocol); the raised scoped-VMEM ceiling (_VMEM_LIMIT) makes the
-    # larger live set legal.
-    ty = strip_rows or 192
+    # 416-row strips measured fastest for the lane-polyphase body on
+    # v5e (0.377 ms/frame vs 0.429 at 192, 0.389 at 320, 0.426 at 544,
+    # chain-slope protocol on a 2144x4096 frame): the heavier per-strip
+    # compute amortizes the halo re-read and the raised scoped-VMEM
+    # ceiling (_VMEM_LIMIT) makes the larger live set legal.
+    if strip_rows:
+        ty = strip_rows
+    else:
+        # cap the auto strip so one input window stays <= ~8 MB (the
+        # kernel keeps several window-sized live copies; very wide
+        # frames would otherwise overrun even the raised VMEM ceiling)
+        cap = (8 * 1024 * 1024 // ((w + 2 * HALOR) * x.dtype.itemsize)) // 32 * 32
+        ty = max(64, min(416, cap))
     # alignment: ty % 32 == 0 makes window starts (i*ty - 16) and all
     # out blocks (ty/2, ty/4) provably 8-aligned.
     if ty % 32:

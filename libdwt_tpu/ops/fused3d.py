@@ -37,10 +37,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from libdwt_tpu.models.wavelets import get_wavelet
 from libdwt_tpu.ops.fused import (
+    _VMEM_LIMIT,
     _check_fused_supported,
     _lift_interleaved,
     _parity_mask,
+    _poly_lift_ch,
 )
+
+
+def _tile_params():
+    """Compiler params for the (z, y) tile-grid kernels: independent
+    tiles + the raised scoped-VMEM ceiling (the polyphase float body
+    keeps several window-sized live copies)."""
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"),
+        vmem_limit_bytes=_VMEM_LIMIT,
+    )
 
 __all__ = ["fused_dwt3_level", "fused_idwt3_level"]
 
@@ -51,9 +63,12 @@ HY = 8  # >= 4 needed; multiple of 8 keeps window starts provably aligned
 CZ = 2
 CY = 8  # >= 2 needed; multiple of 8 for alignment
 
-#: soft VMEM ceiling for one tile's working set (physical limit ~16MB;
-#: the lifting chain keeps ~4 live copies of the window).
-_VMEM_BUDGET_3D = 3 * 1024 * 1024
+#: soft ceiling for one tile's input window; the lifting chain keeps
+#: ~4 live copies and _tile_params raises the scoped-VMEM ceiling to
+#: match.  8MB targets the measured optimum (tz=32, ty=64 on a
+#: 64x512x512 volume: 12.2 Gvox/s vs 9.4 at the old 3MB/(16,32) —
+#: same-process chain-slope on v5e).
+_VMEM_BUDGET_3D = 8 * 1024 * 1024
 
 _BANDS = ("LLL", "LLH", "LHL", "LHH", "HLL", "HLH", "HHL", "HHH")
 
@@ -169,6 +184,85 @@ def _int_axis2(a, b):
     return jnp.swapaxes(_int_axis1(at, bt), 1, 2)
 
 
+# ------------------------------------------------ polyphase float engines
+#
+# A second float engine (``approach="poly"``), the 3-D analogue of the
+# reference's volume_approach catalog
+# (/root/reference/src/volume-dwt.h:195-210): lifting on split channels
+# with every shift on a cheap axis — x channels in lanes as loaded, y
+# channels swapped into lanes, z channels shifted along the outer dim.
+# Measured on v5e (same-process chain-slope, 64x512x512): interleaved
+# wins (1.38 vs 1.58 ms at tz=32, ty=64) — the swapaxes sandwiches and
+# channel merges outweigh the sublane-shift savings in 3-D, unlike the
+# 2-D case — so "interleaved" is the default and "poly" stays
+# selectable for autotuning.  Integers always use the interleaved
+# path: its in-step parity order matches the reference exactly, which
+# bit-exactness requires.
+
+
+def _scale8(bands, wavelet, inverse: bool):
+    """Per-band scalar scaling: each 3-D subband gets the product of
+    its three axis factors (no parity masks)."""
+    sample = next(iter(bands.values()))
+    if wavelet.scale_s is None or jnp.issubdtype(sample.dtype, jnp.integer):
+        return bands
+    if inverse:
+        lo = wavelet.inv_scale_s if wavelet.inv_scale_s is not None else wavelet.scale_d
+        hi = wavelet.inv_scale_d if wavelet.inv_scale_d is not None else wavelet.scale_s
+    else:
+        lo, hi = wavelet.scale_s, wavelet.scale_d
+    out = {}
+    for name, b in bands.items():
+        f = 1.0
+        for ch in name:
+            f *= lo if ch == "L" else hi
+        out[name] = b * jnp.asarray(f, b.dtype)
+    return out
+
+
+def _analysis3d_poly(t, wavelet):
+    """x, y, z polyphase analysis of an interleaved float tile ->
+    dict of 8 channel bands, each (Z/2, Y/2, X/2), scaled."""
+    sx, dx = _deint_axis2(t)  # (Z, Y, X/2): x channels in lanes
+    sx, dx = _poly_lift_ch(sx, dx, wavelet, False, (True, True), axis=2)
+    out = {}
+    for xn, xc in (("L", sx), ("H", dx)):
+        a, b = _deint_axis1(xc)  # (Z, Y/2, X/2)
+        aT = jnp.swapaxes(a, 1, 2)  # (Z, X/2, Y/2): y channels in lanes
+        bT = jnp.swapaxes(b, 1, 2)
+        aT, bT = _poly_lift_ch(aT, bT, wavelet, False, axis=2)
+        for yn, yc in (("L", aT), ("H", bT)):
+            za, zb = _deint_axis0(yc)  # (Z/2, X/2, Y/2)
+            za, zb = _poly_lift_ch(za, zb, wavelet, False, axis=0)
+            out["L" + yn + xn] = jnp.swapaxes(za, 1, 2)  # (Z/2, Y/2, X/2)
+            out["H" + yn + xn] = jnp.swapaxes(zb, 1, 2)
+    return _scale8(out, wavelet, inverse=False)
+
+
+def _synthesis3d_poly(bands, wavelet):
+    """z, y, x polyphase synthesis from 8 channel bands (each
+    (Z/2, Y/2, X/2)) -> interleaved float tile (Z, Y, X); the exact
+    mirror of :func:`_analysis3d_poly`."""
+    bands = _scale8(bands, wavelet, inverse=True)
+    y_x = {}
+    for yn in "LH":
+        for xn in "LH":
+            a = jnp.swapaxes(bands["L" + yn + xn], 1, 2)  # (Z/2, X/2, Y/2)
+            b = jnp.swapaxes(bands["H" + yn + xn], 1, 2)
+            a, b = _poly_lift_ch(a, b, wavelet, True, axis=0)
+            y_x[yn + xn] = _int_axis0(a, b)  # (Z, X/2, Y/2)
+    x_c = {}
+    for xn in "LH":
+        a, b = _poly_lift_ch(y_x["L" + xn], y_x["H" + xn], wavelet, True, axis=2)
+        x_c[xn] = _int_axis1(
+            jnp.swapaxes(a, 1, 2), jnp.swapaxes(b, 1, 2)
+        )  # (Z, Y, X/2)
+    sx, dx = _poly_lift_ch(
+        x_c["L"], x_c["H"], wavelet, True, (True, True), axis=2
+    )
+    return _int_axis2(sx, dx)  # (Z, Y, X)
+
+
 # ------------------------------------------------------------ tile sizing
 
 
@@ -180,7 +274,7 @@ def _pick_tiles(z, y, x, itemsize, budget=_VMEM_BUDGET_3D):
         return (tz_ + 2 * HZ) * (ty_ + 2 * HY) * lane_bytes
 
     ty = min(((y + 15) // 16) * 16, 256)
-    tz = min(z + z % 2, 16)
+    tz = min(z + z % 2, 32)
     while window_bytes(tz, ty) > budget and ty > 16:
         ty = max(16, (ty // 32) * 16)
     while window_bytes(tz, ty) > budget and tz > 2:
@@ -195,7 +289,8 @@ def _pick_tiles(z, y, x, itemsize, budget=_VMEM_BUDGET_3D):
 # ---------------------------------------------------------- forward kernel
 
 
-def _3d_kernel(x_ref, *out_refs, wavelet, tz, ty, erz, ery, nz, nyy):
+def _3d_kernel(x_ref, *out_refs, wavelet, tz, ty, erz, ery, nz, nyy,
+               approach="interleaved"):
     t = x_ref[:]
     pz = pl.program_id(0)
     py = pl.program_id(1)
@@ -221,25 +316,32 @@ def _3d_kernel(x_ref, *out_refs, wavelet, tz, ty, erz, ery, nz, nyy):
         )
     # axis order x, y, z — the separable decomposition order of
     # /root/reference/src/volume-dwt.c (dwt3_level convention).
-    t = _lift_interleaved(t, wavelet, axis=2, inverse=False, edges=(True, True))
-    t = _lift_interleaved(t, wavelet, axis=1, inverse=False)
-    t = _lift_interleaved(t, wavelet, axis=0, inverse=False)
-    t = _scale3(t, wavelet)
-    v = t[HZ : HZ + tz, HY : HY + ty, :]
-    lo_z, hi_z = _deint_axis0(v)
-    outs = {}
-    for zn, zv in (("L", lo_z), ("H", hi_z)):
-        lo_y, hi_y = _deint_axis1(zv)
-        for yn, yv in (("L", lo_y), ("H", hi_y)):
-            lo_x, hi_x = _deint_axis2(yv)
-            outs[zn + yn + "L"] = lo_x
-            outs[zn + yn + "H"] = hi_x
+    if jnp.issubdtype(t.dtype, jnp.integer) or approach == "interleaved":
+        t = _lift_interleaved(t, wavelet, axis=2, inverse=False, edges=(True, True))
+        t = _lift_interleaved(t, wavelet, axis=1, inverse=False)
+        t = _lift_interleaved(t, wavelet, axis=0, inverse=False)
+        t = _scale3(t, wavelet)
+        v = t[HZ : HZ + tz, HY : HY + ty, :]
+        lo_z, hi_z = _deint_axis0(v)
+        outs = {}
+        for zn, zv in (("L", lo_z), ("H", hi_z)):
+            lo_y, hi_y = _deint_axis1(zv)
+            for yn, yv in (("L", lo_y), ("H", hi_y)):
+                lo_x, hi_x = _deint_axis2(yv)
+                outs[zn + yn + "L"] = lo_x
+                outs[zn + yn + "H"] = hi_x
+        for ref, name in zip(out_refs, _BANDS):
+            ref[:] = outs[name]
+        return
+    outs = _analysis3d_poly(t, wavelet)
+    cz_, cy_ = HZ // 2, HY // 2  # window offsets in channel slabs/rows
     for ref, name in zip(out_refs, _BANDS):
-        ref[:] = outs[name]
+        ref[:] = outs[name][cz_ : cz_ + tz // 2, cy_ : cy_ + ty // 2, :]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wavelet", "strip_z", "strip_y", "interpret")
+    jax.jit,
+    static_argnames=("wavelet", "strip_z", "strip_y", "interpret", "approach"),
 )
 def fused_dwt3_level(
     x: jax.Array,
@@ -247,6 +349,7 @@ def fused_dwt3_level(
     strip_z: int = 0,
     strip_y: int = 0,
     interpret: bool = False,
+    approach: str = "interleaved",
 ) -> Dict[str, jax.Array]:
     """Single-level fused 3-D forward DWT -> dict of 8 subbands keyed
     'LLL'..'HHH' in (z, y, x) order — same convention and values as
@@ -314,7 +417,7 @@ def fused_dwt3_level(
     ery = y - 1 - ((nyy - 1) * ty - HY)
     kernel = functools.partial(
         _3d_kernel, wavelet=wavelet, tz=tz, ty=ty, erz=erz, ery=ery,
-        nz=nz, nyy=nyy,
+        nz=nz, nyy=nyy, approach=approach,
     )
     outs = pl.pallas_call(
         kernel,
@@ -323,6 +426,7 @@ def fused_dwt3_level(
         out_specs=(out_spec,) * 8,
         out_shape=(sd,) * 8,
         interpret=interpret,
+        compiler_params=None if interpret else _tile_params(),
     )(xp)
     qz, qy = z // 2, y // 2
     return {name: band[:qz, :qy] for name, band in zip(_BANDS, outs)}
@@ -352,7 +456,8 @@ def _chan_fix(c, axis, is_low, pid, n_tiles, er, stride):
     return c
 
 
-def _3d_inv_kernel(*refs, wavelet, tz, ty, erz, ery, nz, nyy):
+def _3d_inv_kernel(*refs, wavelet, tz, ty, erz, ery, nz, nyy,
+                   approach="interleaved"):
     out_ref = refs[-1]
     bands = {}
     pz = pl.program_id(0)
@@ -365,23 +470,29 @@ def _3d_inv_kernel(*refs, wavelet, tz, ty, erz, ery, nz, nyy):
         c = _chan_fix(c, 0, name[0] == "L", pz, nz, erz, tz // 2)
         c = _chan_fix(c, 1, name[1] == "L", py, nyy, ery, ty // 2)
         bands[name] = c
-    # interleave channels back: x, then y, then z
-    by_zy = {}
-    for zn in "LH":
-        for yn in "LH":
-            by_zy[zn + yn] = _int_axis2(bands[zn + yn + "L"], bands[zn + yn + "H"])
-    by_z = {zn: _int_axis1(by_zy[zn + "L"], by_zy[zn + "H"]) for zn in "LH"}
-    t = _int_axis0(by_z["L"], by_z["H"])
-    # inverse lifting: z, y, then x (reverse of the forward x, y, z)
-    t = _inv_scale3(t, wavelet)
-    t = _lift_interleaved(t, wavelet, axis=0, inverse=True)
-    t = _lift_interleaved(t, wavelet, axis=1, inverse=True)
-    t = _lift_interleaved(t, wavelet, axis=2, inverse=True, edges=(True, True))
+    if jnp.issubdtype(out_ref.dtype, jnp.integer) or approach == "interleaved":
+        # interleave channels back: x, then y, then z
+        by_zy = {}
+        for zn in "LH":
+            for yn in "LH":
+                by_zy[zn + yn] = _int_axis2(
+                    bands[zn + yn + "L"], bands[zn + yn + "H"]
+                )
+        by_z = {zn: _int_axis1(by_zy[zn + "L"], by_zy[zn + "H"]) for zn in "LH"}
+        t = _int_axis0(by_z["L"], by_z["H"])
+        # inverse lifting: z, y, then x (reverse of the forward x, y, z)
+        t = _inv_scale3(t, wavelet)
+        t = _lift_interleaved(t, wavelet, axis=0, inverse=True)
+        t = _lift_interleaved(t, wavelet, axis=1, inverse=True)
+        t = _lift_interleaved(t, wavelet, axis=2, inverse=True, edges=(True, True))
+    else:
+        t = _synthesis3d_poly(bands, wavelet)
     out_ref[:] = t[2 * CZ : 2 * CZ + tz, 2 * CY : 2 * CY + ty, :]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wavelet", "strip_z", "strip_y", "interpret")
+    jax.jit,
+    static_argnames=("wavelet", "strip_z", "strip_y", "interpret", "approach"),
 )
 def fused_idwt3_level(
     bands: Dict[str, jax.Array],
@@ -389,6 +500,7 @@ def fused_idwt3_level(
     strip_z: int = 0,
     strip_y: int = 0,
     interpret: bool = False,
+    approach: str = "interleaved",
 ) -> jax.Array:
     """Single-level fused 3-D inverse DWT (inverse of
     :func:`fused_dwt3_level`; the fused analogue the reference ships as
@@ -455,7 +567,7 @@ def fused_idwt3_level(
     )
     kernel = functools.partial(
         _3d_inv_kernel, wavelet=wavelet, tz=tz, ty=ty, erz=erz, ery=ery,
-        nz=nz, nyy=nyy,
+        nz=nz, nyy=nyy, approach=approach,
     )
     out = pl.pallas_call(
         kernel,
@@ -464,5 +576,6 @@ def fused_idwt3_level(
         out_specs=out_spec,
         out_shape=out_sd,
         interpret=interpret,
+        compiler_params=None if interpret else _tile_params(),
     )(*ins)
     return out[:z, :y]
