@@ -1119,7 +1119,13 @@ def fused_idwt2_2level(
     if min(h, w) < 4 * (CFIX + 1):
         raise ValueError("image too small for the 2-level fused inverse")
     wc = w
-    ty = strip_rows or 96
+    # large strips win for the lane-polyphase synthesis exactly as for
+    # the analysis (the CHR channel halos are re-read per strip; at 96
+    # rows the level-2 windows are 67% halo) — reuse the measured
+    # picker, rounded down to the 32-row alignment this kernel needs.
+    ty = strip_rows or max(
+        96, (_pick_strip_rows(wc, ll2.dtype.itemsize, True) // 32) * 32
+    )
     if ty % 32:
         raise ValueError("strip_rows must be a multiple of 32")
     if h <= ty:
