@@ -1189,6 +1189,30 @@ def fused_waverec2(coeffs, wavelet="cdf97", interpret: bool = False):
     ll = coeffs[0]
     rest = list(coeffs[1:])
     min_fused = 1024
+
+    # pyramid tail first: reconstruct every SMALL coarse level in one
+    # VMEM-resident launch (the inverse twin of fused_deep_wavedec2) —
+    # these levels are latency-bound, not bandwidth-bound.
+    if ll.ndim == 2 and fused_supported(wavelet):
+        deep = 0
+        ch, cw = ll.shape[-2], ll.shape[-1]
+        for (hl, lh, hh) in rest:
+            h, w = ch + lh.shape[-2], cw + hl.shape[-1]
+            if (
+                hl.shape != (ch, w // 2)
+                or lh.shape != (h // 2, cw)
+                or hh.shape != (h // 2, w // 2)
+                or (h + 8) * (w + 8) * ll.dtype.itemsize > _DEEP_VMEM_LIMIT
+            ):
+                break
+            deep += 1
+            ch, cw = h, w
+        if deep:
+            ll = fused_deep_waverec2(
+                [ll] + rest[:deep], wavelet, interpret=interpret
+            )
+            rest = rest[deep:]
+
     while rest:
         h2 = rest[0][0].shape[-2] + rest[0][1].shape[-2]
         w2 = rest[0][0].shape[-1] + rest[0][1].shape[-1]
@@ -1318,3 +1342,95 @@ def fused_deep_wavedec2(
     for lvl in range(levels - 1, -1, -1):
         coeffs.append(tuple(outs[3 * lvl : 3 * lvl + 3]))
     return coeffs
+
+# -------------------------------------------- deep-pyramid inverse kernel
+
+
+def _pad_ch_static(c, signal_len: int, is_low: bool, axis: int):
+    """In-kernel analogue of :func:`_pad_channel_mirror`: extend a
+    polyphase channel by CH samples each side with the channel-domain
+    whole-point mirror, built from static single-row slices (Mosaic has
+    no reverse primitive and rejects strided slices).  Both channels of
+    an odd ``signal_len`` leave with ceil(signal_len/2) + 2*CH samples
+    (the high channel also gains its missing ceil-grid sample)."""
+    if axis != 0:
+        return _pad_ch_static(c.T, signal_len, is_low, 0).T
+    odd = signal_len % 2 == 1
+    nc = c.shape[0]
+    if is_low:
+        top = [c[m : m + 1] for m in range(CH, 0, -1)]
+        start, count = (1 if odd else 0), CH
+    else:
+        top = [c[m : m + 1] for m in range(CH - 1, -1, -1)]
+        start, count = (0 if odd else 1), CH + (1 if odd else 0)
+    bot = [c[nc - 1 - start - i : nc - start - i] for i in range(count)]
+    return jnp.concatenate(top + [c] + bot, axis=0)
+
+
+def _deep_inv_kernel(*refs, wavelet, shapes):
+    """VMEM-resident multi-level reconstruction: coarsest LL + per-level
+    band triples -> the LL of the finest provided level, all in one
+    launch.  ``shapes`` = [(h, w)] target size per level, coarse
+    first."""
+    cur = refs[0][:]
+    bands = list(refs[1:-1])
+    out_ref = refs[-1]
+    for (h, w) in shapes:
+        hl, lh, hh = bands.pop(0)[:], bands.pop(0)[:], bands.pop(0)[:]
+        llp = _pad_ch_static(_pad_ch_static(cur, h, True, 0), w, True, 1)
+        hlp = _pad_ch_static(_pad_ch_static(hl, h, True, 0), w, False, 1)
+        lhp = _pad_ch_static(_pad_ch_static(lh, h, False, 0), w, True, 1)
+        hhp = _pad_ch_static(_pad_ch_static(hh, h, False, 0), w, False, 1)
+        t = _synthesis2d_poly(llp, hlp, lhp, hhp, wavelet)
+        cur = t[2 * CH : 2 * CH + h, 2 * CH : 2 * CH + w]
+    out_ref[:] = cur
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "interpret"))
+def fused_deep_waverec2(coeffs, wavelet="cdf97", interpret: bool = False):
+    """Inverse of :func:`fused_deep_wavedec2`: reconstruct ALL provided
+    pyramid levels in ONE kernel launch with everything resident in
+    VMEM — the deep levels are latency-bound, and this removes their
+    per-level HBM round trips and launches.  ``coeffs`` is a wavedec2
+    pytree prefix [LLn, (hl_n, lh_n, hh_n), ..., (hl_1, lh_1, hh_1)];
+    returns the reconstructed image at the finest provided level.
+    """
+    wavelet = get_wavelet(wavelet)
+    _check_fused_supported(wavelet)
+    ll = coeffs[0]
+    if ll.ndim != 2:
+        raise ValueError("fused_deep_waverec2 takes one 2-D pyramid")
+    shapes = []
+    ch, cw = ll.shape
+    for (hl, lh, hh) in coeffs[1:]:
+        h = ch + lh.shape[-2]
+        w = cw + hl.shape[-1]
+        if hl.shape != (ch, w // 2) or lh.shape != (h // 2, cw) \
+                or hh.shape != (h // 2, w // 2):
+            raise ValueError("band shapes do not chain into a pyramid")
+        shapes.append((h, w))
+        ch, cw = h, w
+    if not shapes:
+        return ll
+    h, w = shapes[-1]
+    if (h + 8) * (w + 8) * ll.dtype.itemsize > _DEEP_VMEM_LIMIT:
+        raise ValueError("pyramid too large to reconstruct in VMEM")
+
+    ins = [coeffs[0]]
+    for lvl in coeffs[1:]:
+        ins.extend(lvl)
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _deep_inv_kernel, wavelet=wavelet, shapes=tuple(shapes)
+    )
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[spec] * len(ins),
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((h, w), ll.dtype),
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(*ins)
+    return out

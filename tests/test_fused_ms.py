@@ -148,3 +148,43 @@ def test_2level_inverse_short_last_strip(h):
     rec = fused_idwt2_2level(c[0], c[1], c[2], "cdf97", strip_rows=32,
                              interpret=True)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-3, rtol=0)
+
+
+@pytest.mark.parametrize(
+    "shape,levels",
+    [((128, 256), 3), ((134, 256), 2), ((67, 128), 2), ((96, 96), 4),
+     ((65, 129), 1)],
+)
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53"])
+def test_deep_inverse_vs_oracle(shape, levels, wavelet):
+    """fused_deep_waverec2 (whole tail in one VMEM-resident launch)
+    reconstructs wavedec2 pyramids incl. odd geometries."""
+    from libdwt_tpu.ops.fused import fused_deep_waverec2
+    from libdwt_tpu.ops.separable import waverec2 as sep_waverec2
+
+    x = jnp.asarray(make_test_image(*shape, dtype=np.float32))
+    c = wavedec2(x, wavelet, levels)
+    got = fused_deep_waverec2(c, wavelet, interpret=True)
+    want = sep_waverec2(c, wavelet)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=0)
+
+
+def test_deep_inverse_int_bitexact():
+    from libdwt_tpu.ops.fused import fused_deep_waverec2
+
+    x = jnp.asarray(make_test_image(64, 96, dtype=np.int32))
+    c = wavedec2(x, "cdf53", 3)
+    rec = fused_deep_waverec2(c, "cdf53", interpret=True)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(x))
+
+
+def test_deep_inverse_roundtrip_with_forward_kernel():
+    """deep forward -> deep inverse round trip (the kernel pair)."""
+    from libdwt_tpu.ops.fused import fused_deep_wavedec2, fused_deep_waverec2
+
+    x = jnp.asarray(make_test_image(120, 200, dtype=np.float32))
+    c = fused_deep_wavedec2(x, "cdf97", 3, interpret=True)
+    rec = fused_deep_waverec2(c, "cdf97", interpret=True)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4,
+                               rtol=0)
