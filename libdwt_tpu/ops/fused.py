@@ -468,22 +468,36 @@ def _fwd_kernel(x_ref, ll_ref, hl_ref, lh_ref, hh_ref, *, wavelet, ty, wc):
 HALOR1 = 8
 
 
-def _fwd_kernel_pf(x_ref, ll_ref, hl_ref, lh_ref, hh_ref,
+def _fwd_kernel_pf(x_ref, ll_ref, hl_ref, lh_ref, hh_ref, t_s,
                    *, wavelet, ty, wc, er, ny):
     """Pad-free single-level forward body: windows read straight from
     the unpadded image (clamped starts + high element padding); column
     borders via the in-step mirror, row borders materialized in VMEM
     for the edge strips only."""
-    t = x_ref[:]
     pid = pl.program_id(0)
-    t = jnp.where(pid == 0, jnp.roll(t, HALOR1, axis=0), t)
-    t = jnp.where(pid == 0, _mirror_head_sub(t, HALOR1, HALO), t)
-    t = jnp.where(pid == ny - 1, _mirror_tail_sub(t, er, HALO), t)
+    # edge fixups run ONLY on the strips that need them (pl.when):
+    # interior strips read their window straight from x_ref, paying
+    # nothing — the old where()-selects built every mirror for every
+    # strip and discarded them.
+    t_s[:] = x_ref[:]
+
+    @pl.when(pid == 0)
+    def _():
+        t_s[:] = _mirror_head_sub(jnp.roll(t_s[:], HALOR1, axis=0),
+                                  HALOR1, HALO)
+
+    @pl.when(pid == ny - 1)
+    def _():
+        t_s[:] = _mirror_tail_sub(t_s[:], er, HALO)
+
     if ny >= 2 and er < 2 * HALOR1:
         # a short last strip means the PENULTIMATE strip's window also
         # crosses the image end; mirror-fill it at its own edge row
-        t = jnp.where(pid == ny - 2, _mirror_tail_sub(t, er + ty, HALO), t)
-    ll, hl, lh, hh = _analysis2d_poly(t, wavelet, row_edges=(True, True))
+        @pl.when(pid == ny - 2)
+        def _():
+            t_s[:] = _mirror_tail_sub(t_s[:], er + ty, HALO)
+
+    ll, hl, lh, hh = _analysis2d_poly(t_s[:], wavelet, row_edges=(True, True))
     c = HALOR1 // 2
     ll_ref[:] = ll[c : c + ty // 2, :]
     hl_ref[:] = hl[c : c + ty // 2, :]
@@ -560,6 +574,7 @@ def fused_dwt2_level(
             in_specs=[in_spec],
             out_specs=(out_spec, out_spec, out_spec, out_spec),
             out_shape=(out_sd, out_sd, out_sd, out_sd),
+            scratch_shapes=[pltpu.VMEM((ty + 2 * HALOR1, w), x.dtype)],
             interpret=interpret,
             compiler_params=None if interpret else _strip_params(),
         )(xp)
@@ -653,7 +668,8 @@ def _mirror_head_sub(a, center: int, count: int):
 
 
 def _2lvl_kernel(x_ref, ll2_ref, hl2_ref, lh2_ref, hh2_ref,
-                 hl1_ref, lh1_ref, hh1_ref, *, wavelet, ty, wc, er, er_ll, ny):
+                 hl1_ref, lh1_ref, hh1_ref, t_s, ll_s,
+                 *, wavelet, ty, wc, er, er_ll, ny):
     """Pad-free multi-scale kernel body.
 
     The window is (ty + 2*HALOR, wc) read straight from the UNPADDED
@@ -664,27 +680,38 @@ def _2lvl_kernel(x_ref, ll2_ref, hl2_ref, lh2_ref, hh2_ref,
     host-reflect-pad design this removes one full read+write of the
     frame from HBM traffic.
     """
-    t = x_ref[:]
     pid = pl.program_id(0)
+    # Edge fixups run ONLY on the strips that need them (pl.when) —
+    # interior strips pay a plain VMEM copy instead of building and
+    # discarding every mirror/roll.
+    t_s[:] = x_ref[:]
+
     # ---- first strip: its window start was clamped from -HALOR to 0
     # (Mosaic supports only HIGH element-window padding), so image row 0
     # sits at window row 0 instead of HALOR; a constant roll normalizes
-    # the layout (the wrapped-in top rows are overwritten/ignored below).
-    t = jnp.where(pid == 0, jnp.roll(t, HALOR, axis=0), t)
-    # ---- edge strips: build the symmetric row extension in VMEM.
-    # Top (first strip): rows HALOR-m := HALOR+m for m=1..HALO2 (the
-    # remaining HALOR-HALO2 rows stay garbage; lifting contamination
-    # from them never reaches a kept output row).
-    t = jnp.where(pid == 0, _mirror_head_sub(t, HALOR, HALO2), t)
-    # Bottom (last strip): rows er+m := er-m, zeros beyond.
-    t = jnp.where(pid == ny - 1, _mirror_tail_sub(t, er, HALO2), t)
+    # the layout, then the symmetric row extension is built in VMEM:
+    # rows HALOR-m := HALOR+m for m=1..HALO2 (the remaining
+    # HALOR-HALO2 rows stay garbage; lifting contamination from them
+    # never reaches a kept output row).
+    @pl.when(pid == 0)
+    def _():
+        t_s[:] = _mirror_head_sub(jnp.roll(t_s[:], HALOR, axis=0),
+                                  HALOR, HALO2)
+
+    # ---- last strip: rows er+m := er-m, zeros beyond.
+    @pl.when(pid == ny - 1)
+    def _():
+        t_s[:] = _mirror_tail_sub(t_s[:], er, HALO2)
+
     if ny >= 2 and er < 2 * HALOR:
         # short last strip: the penultimate window also crosses the end
-        t = jnp.where(pid == ny - 2, _mirror_tail_sub(t, er + ty, HALO2), t)
+        @pl.when(pid == ny - 2)
+        def _():
+            t_s[:] = _mirror_tail_sub(t_s[:], er + ty, HALO2)
 
     # ---- level 0: columns mirror in-step (exact whole-point border),
     # rows rely on the halo.
-    ll, hl1, lh1, hh1 = _analysis2d_poly(t, wavelet, row_edges=(True, True))
+    ll, hl1, lh1, hh1 = _analysis2d_poly(t_s[:], wavelet, row_edges=(True, True))
     c = HALOR // 2  # 8: channel-domain row halo
     hl1_ref[:] = hl1[c : c + ty // 2, :]
     lh1_ref[:] = lh1[c : c + ty // 2, :]
@@ -698,11 +725,18 @@ def _2lvl_kernel(x_ref, ll2_ref, hl2_ref, lh2_ref, hh2_ref,
     # (x[-k] = x[k] already induces s[-m] = s[m]), and columns are
     # handled exactly by the in-step mirror at the true LL width.
     # ll: (ty/2 + HALOR, wc/2)
-    fixed = _mirror_tail_sub(ll, er_ll, HALO2 // 2)
-    ll = jnp.where(pid == ny - 1, fixed, ll)
+    ll_s[:] = ll
+
+    @pl.when(pid == ny - 1)
+    def _():
+        ll_s[:] = _mirror_tail_sub(ll_s[:], er_ll, HALO2 // 2)
+
     if ny >= 2 and er_ll < 2 * (HALOR // 2):
-        fixed2 = _mirror_tail_sub(ll, er_ll + ty // 2, HALO2 // 2)
-        ll = jnp.where(pid == ny - 2, fixed2, ll)
+        @pl.when(pid == ny - 2)
+        def _():
+            ll_s[:] = _mirror_tail_sub(ll_s[:], er_ll + ty // 2, HALO2 // 2)
+
+    ll = ll_s[:]
 
     # ---- level 1 (needs 4 valid LL rows around the kept strip; the
     # 8-row halo absorbs that plus level-0's contaminated edge rows)
@@ -803,6 +837,10 @@ def fused_dwt2_2level(
         in_specs=[in_spec],
         out_specs=(spec4, spec4, spec4, spec4, spec2, spec2, spec2),
         out_shape=(sd4, sd4, sd4, sd4, sd2, sd2, sd2),
+        scratch_shapes=[
+            pltpu.VMEM((ty + 2 * HALOR, wc), x.dtype),
+            pltpu.VMEM((ty // 2 + HALOR, wc // 2), x.dtype),
+        ],
         interpret=interpret,
         compiler_params=None if interpret else _strip_params(),
     )(xp)
@@ -1044,8 +1082,39 @@ def _chan_fix_sub(c, is_low: bool, pid, n_strips: int, er: int, stride: int):
     return c
 
 
+def _chan_fix_ref(ref, src_ref, is_low, pid, n_strips, er, stride):
+    """Scratch-ref variant of :func:`_chan_fix_sub`: copies the band
+    window and applies the roll-normalization + mirror fills ONLY on
+    the strips that need them (pl.when) — interior strips pay one VMEM
+    copy instead of building and discarding every fill."""
+    ref[:] = src_ref[:]
+
+    @pl.when(pid == 0)
+    def _():
+        rolled = jnp.roll(ref[:], CHR, axis=0)
+        ref[:] = (
+            _mirror_head_sub(rolled, CHR, CFIX)
+            if is_low
+            else _mirror_head_sub_repeat(rolled, CHR, CFIX)
+        )
+
+    tail_fn = _mirror_tail_sub_repeat if is_low else _mirror_tail_sub
+
+    @pl.when(pid == n_strips - 1)
+    def _():
+        ref[:] = tail_fn(ref[:], er, CFIX)
+
+    if n_strips >= 2 and er < 2 * CHR:
+        @pl.when(pid == n_strips - 2)
+        def _():
+            ref[:] = tail_fn(ref[:], er + stride, CFIX)
+
+    return ref[:]
+
+
 def _inv2_kernel(ll2_ref, hl2_ref, lh2_ref, hh2_ref,
                  hl1_ref, lh1_ref, hh1_ref, out_ref,
+                 q0_s, q1_s, q2_s, q3_s, h0_s, h1_s, h2_s, ll1_s,
                  *, wavelet, ty, wc, er2, er1, ny):
     """Pad-free multi-scale inverse body.
 
@@ -1058,11 +1127,11 @@ def _inv2_kernel(ll2_ref, hl2_ref, lh2_ref, hh2_ref,
     pid = pl.program_id(0)
     qy, hy = ty // 4, ty // 2
     # ---- level-2 windows: fix row halos (ll2/hl2 are row-low 's'
-    # channels, lh2/hh2 row-high 'd' channels)
-    ll2 = _chan_fix_sub(ll2_ref[:], True, pid, ny, er2, qy)
-    hl2 = _chan_fix_sub(hl2_ref[:], True, pid, ny, er2, qy)
-    lh2 = _chan_fix_sub(lh2_ref[:], False, pid, ny, er2, qy)
-    hh2 = _chan_fix_sub(hh2_ref[:], False, pid, ny, er2, qy)
+    # channels, lh2/hh2 row-high 'd' channels) — edge strips only
+    ll2 = _chan_fix_ref(q0_s, ll2_ref, True, pid, ny, er2, qy)
+    hl2 = _chan_fix_ref(q1_s, hl2_ref, True, pid, ny, er2, qy)
+    lh2 = _chan_fix_ref(q2_s, lh2_ref, False, pid, ny, er2, qy)
+    hh2 = _chan_fix_ref(q3_s, hh2_ref, False, pid, ny, er2, qy)
 
     # ---- level-2 inverse (polyphase synthesis with in-step column
     # mirror at the true LL1 width)
@@ -1077,16 +1146,23 @@ def _inv2_kernel(ll2_ref, hl2_ref, lh2_ref, hh2_ref,
     # image edge must follow the level-1 channel repeat mirror
     # s[N+m] = s[N-1-m]; the top halo is already consistent
     # (s[-m] = s[m] falls out of the mirrored level-2 inputs).
-    fixed = _mirror_tail_sub_repeat(ll1, er1, CFIX)
-    ll1 = jnp.where(pid == ny - 1, fixed, ll1)
+    ll1_s[:] = ll1
+
+    @pl.when(pid == ny - 1)
+    def _():
+        ll1_s[:] = _mirror_tail_sub_repeat(ll1_s[:], er1, CFIX)
+
     if ny >= 2 and er1 < 2 * CHR:
-        fixed2 = _mirror_tail_sub_repeat(ll1, er1 + hy, CFIX)
-        ll1 = jnp.where(pid == ny - 2, fixed2, ll1)
+        @pl.when(pid == ny - 2)
+        def _():
+            ll1_s[:] = _mirror_tail_sub_repeat(ll1_s[:], er1 + hy, CFIX)
+
+    ll1 = ll1_s[:]
 
     # ---- level-1 windows + inverse
-    hl1 = _chan_fix_sub(hl1_ref[:], True, pid, ny, er1, hy)
-    lh1 = _chan_fix_sub(lh1_ref[:], False, pid, ny, er1, hy)
-    hh1 = _chan_fix_sub(hh1_ref[:], False, pid, ny, er1, hy)
+    hl1 = _chan_fix_ref(h0_s, hl1_ref, True, pid, ny, er1, hy)
+    lh1 = _chan_fix_ref(h1_s, lh1_ref, False, pid, ny, er1, hy)
+    hh1 = _chan_fix_ref(h2_s, hh1_ref, False, pid, ny, er1, hy)
     t1 = _synthesis2d_poly(
         ll1, hl1, lh1, hh1, wavelet, row_edges=(True, True)
     )  # (ty + 4*CHR, wc)
@@ -1168,12 +1244,17 @@ def fused_idwt2_2level(
     kernel = functools.partial(
         _inv2_kernel, wavelet=wavelet, ty=ty, wc=wc, er2=er2, er1=er1, ny=ny
     )
+    qwin = (qy + 2 * CHR, wc // 4)
+    hwin = (hy + 2 * CHR, wc // 2)
     out = pl.pallas_call(
         kernel,
         grid=(ny,),
         in_specs=[spec_q] * 4 + [spec_h] * 3,
         out_specs=pl.BlockSpec((ty, wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=out_sd,
+        scratch_shapes=[pltpu.VMEM(qwin, ll2.dtype)] * 4
+        + [pltpu.VMEM(hwin, ll2.dtype)] * 3
+        + [pltpu.VMEM((hy + 2 * CHR, wc // 2), ll2.dtype)],
         interpret=interpret,
         compiler_params=None if interpret else _strip_params(),
     )(*ins)

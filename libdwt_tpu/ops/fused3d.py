@@ -289,31 +289,53 @@ def _pick_tiles(z, y, x, itemsize, budget=_VMEM_BUDGET_3D):
 # ---------------------------------------------------------- forward kernel
 
 
-def _3d_kernel(x_ref, *out_refs, wavelet, tz, ty, erz, ery, nz, nyy,
+def _3d_kernel(x_ref, *out_refs_scratch, wavelet, tz, ty, erz, ery, nz, nyy,
                approach="interleaved"):
-    t = x_ref[:]
+    out_refs, t_s = out_refs_scratch[:-1], out_refs_scratch[-1]
     pz = pl.program_id(0)
     py = pl.program_id(1)
-    # first tiles: window starts were clamped from -halo to 0 (Mosaic
-    # supports only HIGH element-window padding); constant rolls
-    # normalize the layout before the mirror fills below.
-    t = jnp.where(pz == 0, jnp.roll(t, HZ, axis=0), t)
-    t = jnp.where(py == 0, jnp.roll(t, HY, axis=1), t)
-    # edge tiles: materialize the whole-point mirror in VMEM (the
-    # penultimate tile's window also crosses the volume end when the
-    # last tile is short)
-    t = jnp.where(pz == 0, _mirror_head_ax(t, HZ, HZ, 0, repeat=False), t)
-    t = jnp.where(pz == nz - 1, _mirror_tail_ax(t, erz, HZ, 0, repeat=False), t)
+    # Edge fixups run ONLY on the tiles that need them (pl.when):
+    # interior tiles pay one VMEM copy instead of building and
+    # discarding every roll/mirror.  First tiles roll-normalize their
+    # clamped window start (Mosaic supports only HIGH element-window
+    # padding), edge tiles materialize the whole-point mirror in VMEM
+    # (the penultimate tile's window also crosses the volume end when
+    # the last tile is short).  Per-axis blocks commute: each copies
+    # whole slabs/rows of its own axis and acts uniformly along the
+    # other.
+    t_s[:] = x_ref[:]
+
+    @pl.when(pz == 0)
+    def _():
+        t_s[:] = _mirror_head_ax(
+            jnp.roll(t_s[:], HZ, axis=0), HZ, HZ, 0, repeat=False
+        )
+
+    @pl.when(pz == nz - 1)
+    def _():
+        t_s[:] = _mirror_tail_ax(t_s[:], erz, HZ, 0, repeat=False)
+
     if nz >= 2 and erz < 2 * HZ:
-        t = jnp.where(
-            pz == nz - 2, _mirror_tail_ax(t, erz + tz, HZ, 0, repeat=False), t
+        @pl.when(pz == nz - 2)
+        def _():
+            t_s[:] = _mirror_tail_ax(t_s[:], erz + tz, HZ, 0, repeat=False)
+
+    @pl.when(py == 0)
+    def _():
+        t_s[:] = _mirror_head_ax(
+            jnp.roll(t_s[:], HY, axis=1), HY, HZ, 1, repeat=False
         )
-    t = jnp.where(py == 0, _mirror_head_ax(t, HY, HZ, 1, repeat=False), t)
-    t = jnp.where(py == nyy - 1, _mirror_tail_ax(t, ery, HZ, 1, repeat=False), t)
+
+    @pl.when(py == nyy - 1)
+    def _():
+        t_s[:] = _mirror_tail_ax(t_s[:], ery, HZ, 1, repeat=False)
+
     if nyy >= 2 and ery < 2 * HY:
-        t = jnp.where(
-            py == nyy - 2, _mirror_tail_ax(t, ery + ty, HZ, 1, repeat=False), t
-        )
+        @pl.when(py == nyy - 2)
+        def _():
+            t_s[:] = _mirror_tail_ax(t_s[:], ery + ty, HZ, 1, repeat=False)
+
+    t = t_s[:]
     # axis order x, y, z — the separable decomposition order of
     # /root/reference/src/volume-dwt.c (dwt3_level convention).
     if jnp.issubdtype(t.dtype, jnp.integer) or approach == "interleaved":
@@ -425,6 +447,9 @@ def fused_dwt3_level(
         in_specs=[in_spec],
         out_specs=(out_spec,) * 8,
         out_shape=(sd,) * 8,
+        scratch_shapes=[
+            pltpu.VMEM((tz + 2 * HZ, ty + 2 * HY, w), x.dtype)
+        ],
         interpret=interpret,
         compiler_params=None if interpret else _tile_params(),
     )(xp)
@@ -435,41 +460,44 @@ def fused_dwt3_level(
 # ---------------------------------------------------------- inverse kernel
 
 
-def _chan_fix(c, axis, is_low, pid, n_tiles, er, stride):
-    """Channel-domain mirror fill of a band window's halo along
-    ``axis`` for the edge tiles (interior tiles carry real neighbour
-    data).  ``er`` is the window index of the last valid channel sample
-    in the LAST tile's window; ``stride`` the per-tile channel advance
-    (for the penultimate tile when the last tile is short)."""
-    off = CZ if axis == 0 else CY
-    head = _mirror_head_ax(c, off, CZ, axis, repeat=not is_low)
-    c = jnp.where(pid == 0, head, c)
-    c = jnp.where(
-        pid == n_tiles - 1, _mirror_tail_ax(c, er, CZ, axis, repeat=is_low), c
-    )
-    if n_tiles >= 2 and er < 2 * off:
-        c = jnp.where(
-            pid == n_tiles - 2,
-            _mirror_tail_ax(c, er + stride, CZ, axis, repeat=is_low),
-            c,
-        )
-    return c
-
-
 def _3d_inv_kernel(*refs, wavelet, tz, ty, erz, ery, nz, nyy,
                    approach="interleaved"):
-    out_ref = refs[-1]
+    out_ref = refs[-9]
+    scratch = refs[-8:]
     bands = {}
     pz = pl.program_id(0)
     py = pl.program_id(1)
-    for ref, name in zip(refs[:-1], _BANDS):
-        c = ref[:]
-        # roll-normalize the first tiles' clamped window starts
-        c = jnp.where(pz == 0, jnp.roll(c, CZ, axis=0), c)
-        c = jnp.where(py == 0, jnp.roll(c, CY, axis=1), c)
-        c = _chan_fix(c, 0, name[0] == "L", pz, nz, erz, tz // 2)
-        c = _chan_fix(c, 1, name[1] == "L", py, nyy, ery, ty // 2)
-        bands[name] = c
+    for ref, s_ref, name in zip(refs[:-9], scratch, _BANDS):
+        # edge fixups on the tiles that need them only (pl.when);
+        # interior tiles pay one VMEM copy.  Per-axis blocks commute
+        # (each copies whole slabs/rows of its own axis).
+        s_ref[:] = ref[:]
+        for axis, pid, n_tiles, er, stride, off in (
+            (0, pz, nz, erz, tz // 2, CZ),
+            (1, py, nyy, ery, ty // 2, CY),
+        ):
+            is_low = name[axis] == "L"
+
+            @pl.when(pid == 0)
+            def _(s_ref=s_ref, axis=axis, off=off, is_low=is_low):
+                rolled = jnp.roll(s_ref[:], off, axis=axis)
+                s_ref[:] = _mirror_head_ax(
+                    rolled, off, CZ, axis, repeat=not is_low
+                )
+
+            @pl.when(pid == n_tiles - 1)
+            def _(s_ref=s_ref, axis=axis, er=er, is_low=is_low):
+                s_ref[:] = _mirror_tail_ax(s_ref[:], er, CZ, axis,
+                                           repeat=is_low)
+
+            if n_tiles >= 2 and er < 2 * off:
+                @pl.when(pid == n_tiles - 2)
+                def _(s_ref=s_ref, axis=axis, er=er, stride=stride,
+                      is_low=is_low):
+                    s_ref[:] = _mirror_tail_ax(s_ref[:], er + stride, CZ,
+                                               axis, repeat=is_low)
+
+        bands[name] = s_ref[:]
     if jnp.issubdtype(out_ref.dtype, jnp.integer) or approach == "interleaved":
         # interleave channels back: x, then y, then z
         by_zy = {}
@@ -575,6 +603,10 @@ def fused_idwt3_level(
         in_specs=[in_spec] * 8,
         out_specs=out_spec,
         out_shape=out_sd,
+        scratch_shapes=[
+            pltpu.VMEM((qz + 2 * CZ, qy + 2 * CY, cx), lll.dtype)
+        ]
+        * 8,
         interpret=interpret,
         compiler_params=None if interpret else _tile_params(),
     )(*ins)

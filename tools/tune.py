@@ -32,6 +32,20 @@ def main():
 
     import jax
 
+    # persistent compile cache: killed/retried tune runs resume instead
+    # of re-paying the remote compiles (same knob bench.py uses)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".jax_cache",
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from libdwt_tpu import autotune
 
     sizes = tuple(int(s) for s in args.sizes.split(","))
