@@ -30,6 +30,8 @@ _CASES = {
     "hdr_eaw.py": ["--size", "32", "--levels", "2"],
     "sharded_demo.py": ["--levels", "1", "--width", "64"],
     "perf_sweep.py": ["--sizes", "32", "--levels", "2", "--impl", "separable"],
+    "spectra_swt.py": ["--n-signals", "4", "--length", "128", "--levels", "2"],
+    "displ_vectors.py": ["--count", "8", "--levels", "3", "--keep", "40"],
 }
 
 
@@ -42,7 +44,8 @@ def test_example_runs(name, tmp_path):
     args = list(_CASES[name])
     # route file outputs into the sandbox
     if name in ("io_roundtrip.py", "mra.py", "spectra_fe.py", "timefreq.py",
-                "function_iterating.py"):
+                "function_iterating.py", "spectra_swt.py",
+                "displ_vectors.py"):
         args += ["--out", str(tmp_path / "out")]
     res = subprocess.run(
         [sys.executable, script, *args],
