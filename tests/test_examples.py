@@ -32,6 +32,7 @@ _CASES = {
     "perf_sweep.py": ["--sizes", "32", "--levels", "2", "--impl", "separable"],
     "spectra_swt.py": ["--n-signals", "4", "--length", "128", "--levels", "2"],
     "displ_vectors.py": ["--count", "8", "--levels", "3", "--keep", "40"],
+    "nsls_demo.py": ["--size", "64"],
 }
 
 
