@@ -1,0 +1,601 @@
+"""Manually-pipelined (double-buffered) strip kernels.
+
+The pallas-grid kernels in :mod:`libdwt_tpu.ops.fused` rely on Mosaic's
+automatic window pipeline, which was MEASURED not to overlap DMA with
+compute on v5e (chain-slope ablation, 4K frame: a stream-only body
+0.139 ms/frame and 8 dummy FMA passes 0.221 ms — perfectly additive).
+The kernels here stream strips through two VMEM slots with explicit
+``make_async_copy`` double buffering — the guide's double-buffering
+pattern — so the next strip's load and the previous strip's store ride
+under the current strip's lifting compute.
+
+Two further structural wins over the grid kernels:
+
+  * the strip loop is unrolled in Python, so EVERY strip has static
+    geometry: the DMA places each strip's rows at a fixed buffer
+    offset (no roll normalization at all) and border mirror fills are
+    emitted only for the strips that need them (no pl.when, no
+    discarded selects);
+  * the coefficient arrays are read/written in place in HBM — like the
+    grid kernels there is no host padding pass, and unlike
+    ``fused_idwt2_level`` the inverse needs no host channel-mirror
+    staging copies.
+
+Semantics are identical to the separable oracle (and therefore to the
+reference: dwt_cdf97_2f_s /root/reference/src/libdwt.c:12776, the
+multi-scale fused loop of /root/reference/src/dwt-sym-ms.c): whole-point
+symmetric borders, ceil/floor channel split, float to association
+tolerance and integers bit-exactly.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from libdwt_tpu.models.wavelets import get_wavelet
+from libdwt_tpu.ops.fused import (
+    CFIX,
+    HALO,
+    HALO2,
+    _analysis2d_poly,
+    _check_fused_supported,
+    _mirror_head_sub,
+    _mirror_head_sub_repeat,
+    _mirror_tail_sub,
+    _mirror_tail_sub_repeat,
+    _synthesis2d_poly,
+)
+
+__all__ = [
+    "streamed_supported",
+    "streamed_dwt2_level",
+    "streamed_dwt2_2level",
+    "streamed_idwt2_level",
+    "streamed_idwt2_2level",
+    "streamed_wavedec2",
+    "streamed_waverec2",
+]
+
+#: top halo rows of every strip buffer (image/band row ``i*stride`` sits
+#: at buffer row TOP): 8 keeps all DMA offsets sublane-aligned.
+TOP = 8
+#: channel-domain mirror depth of the single-level kernels.
+CMIR = 4
+#: unrolled-strip budget: past this many strips compile time grows
+#: linearly for no perf gain — callers should fall back to the grid
+#: kernels (the strips only amortize better up to a few dozen).
+MAX_STRIPS = 32
+
+_VMEM_LIMIT = 96 * 1024 * 1024
+
+
+def _params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def streamed_supported(shape, wavelet, strip_rows: int, levels: int = 1) -> bool:
+    """Geometry gate: even dims (divisible by 4 for the 2-level pair),
+    at least two strips, at most MAX_STRIPS, symmetric-step wavelet."""
+    from libdwt_tpu.ops.fused import fused_supported
+
+    h, w = shape
+    div = 4 if levels == 2 else 2
+    if h % div or w % div or not fused_supported(wavelet):
+        return False
+    ty = max(64, (strip_rows // 32) * 32)
+    ny = -(-h // ty)
+    if not (2 <= ny <= MAX_STRIPS and h > ty + 48):
+        return False
+    # the 2-level INVERSE also needs its quarter-resolution channel
+    # windows to fit: cy2 > qy + 16 (+8 short-tail bump)
+    return levels == 1 or h // 4 > ty // 4 + 24
+
+
+# --------------------------------------------------------------- forward
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret"))
+def streamed_dwt2_level(
+    x: jax.Array,
+    wavelet="cdf97",
+    strip_rows: int = 256,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Single-level forward 2-D DWT -> (LL, HL, LH, HH); even h, w.
+
+    Equivalent to :func:`libdwt_tpu.ops.separable.dwt2_level`.
+    """
+    wavelet = get_wavelet(wavelet)
+    _check_fused_supported(wavelet)
+    h, w = x.shape
+    if h % 2 or w % 2:
+        raise ValueError("streamed kernel needs even dims; use the oracle")
+    ty = max(32, (strip_rows // 16) * 16)
+    ny = -(-h // ty)
+    rem = h - (ny - 1) * ty
+    # +8 tail margin when a short last strip pushes the PENULTIMATE
+    # strip's mirror fill past the ty+15 buffer row
+    tyw = ty + 2 * TOP + (8 if 0 < rem < TOP else 0)
+    if h <= tyw or ny < 2 or ny > MAX_STRIPS:
+        raise ValueError("geometry outside the streamed kernel's range")
+    hy = ty // 2
+
+    def geom(i):
+        want_lo = i * ty - TOP
+        s = max(want_lo, 0)
+        e = min(i * ty + ty + TOP, h)
+        return want_lo, s, e - s, s - want_lo
+
+    def kernel(x_hbm, ll_h, hl_h, lh_h, hh_h,
+               in_buf, sll, shl, slh, shh, in_sem, out_sem):
+        outs = (ll_h, hl_h, lh_h, hh_h)
+        stages = (sll, shl, slh, shh)
+
+        def in_dma(i):
+            _, s, L, o = geom(i)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(s, L), :],
+                in_buf.at[i % 2, pl.ds(o, L), :],
+                in_sem.at[i % 2],
+            )
+
+        def out_dma(i, q):
+            k = min(ty, h - i * ty) // 2
+            return pltpu.make_async_copy(
+                stages[q].at[i % 2, pl.ds(0, k), :],
+                outs[q].at[pl.ds(i * hy, k), :],
+                out_sem.at[i % 2, q],
+            )
+
+        in_dma(0).start()
+        for i in range(ny):
+            if i + 1 < ny:
+                in_dma(i + 1).start()
+            in_dma(i).wait()
+            t = in_buf[i % 2]
+            want_lo = i * ty - TOP
+            if i == 0:
+                t = _mirror_head_sub(t, TOP, HALO)
+            if i * ty + ty + HALO > h:
+                er = (h - 1) - want_lo
+                assert er + HALO <= tyw - 1, (i, er, tyw)
+                t = _mirror_tail_sub(t, er, HALO)
+            ll, hl, lh, hh = _analysis2d_poly(t, wavelet, row_edges=(True, True))
+            c = TOP // 2
+            if i >= 2:
+                for q in range(4):
+                    out_dma(i - 2, q).wait()
+            for q, quad in enumerate((ll, hl, lh, hh)):
+                stages[q][i % 2, :] = quad[c : c + hy, :]
+            for q in range(4):
+                out_dma(i, q).start()
+        for i in (ny - 2, ny - 1):
+            for q in range(4):
+                out_dma(i, q).wait()
+
+    out_sd = tuple(
+        jax.ShapeDtypeStruct((h // 2, w // 2), x.dtype) for _ in range(4)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)),
+        out_shape=out_sd,
+        scratch_shapes=[pltpu.VMEM((2, tyw, w), x.dtype)]
+        + [pltpu.VMEM((2, hy, w // 2), x.dtype)] * 4
+        + [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2, 4))],
+        interpret=interpret,
+        compiler_params=None if interpret else _params(),
+    )(x)
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret"))
+def streamed_dwt2_2level(
+    x: jax.Array,
+    wavelet="cdf97",
+    strip_rows: int = 256,
+    interpret: bool = False,
+):
+    """TWO forward levels in one pass over the image (the multi-scale
+    fused single-loop of /root/reference/src/dwt-sym-ms.c with manual
+    double buffering).  Returns (LL2, (HL2, LH2, HH2), (HL1, LH1, HH1));
+    needs h, w divisible by 4."""
+    wavelet = get_wavelet(wavelet)
+    _check_fused_supported(wavelet)
+    h, w = x.shape
+    if h % 4 or w % 4:
+        raise ValueError("needs h, w divisible by 4")
+    TOP2 = 16  # level-1 keeps an 8-row channel halo above every strip
+    ty = max(64, (strip_rows // 32) * 32)
+    ny = -(-h // ty)
+    rem = h - (ny - 1) * ty
+    tyw = ty + 2 * TOP2 + (16 if 0 < rem < TOP2 else 0)
+    if h <= tyw or ny < 2 or ny > MAX_STRIPS:
+        raise ValueError("geometry outside the streamed kernel's range")
+    hy, qy = ty // 2, ty // 4
+    hx, qx = w // 2, w // 4
+
+    def geom(i):
+        want_lo = i * ty - TOP2
+        s = max(want_lo, 0)
+        e = min(i * ty + ty + TOP2, h)
+        return want_lo, s, e - s, s - want_lo
+
+    STAGE = [(qy, qx, h // 4)] * 4 + [(hy, hx, h // 2)] * 3
+
+    def kernel(x_hbm, *refs):
+        outs = refs[:7]
+        in_buf = refs[7]
+        stages = refs[8:15]
+        in_sem, out_sem = refs[15], refs[16]
+
+        def in_dma(i):
+            _, s, L, o = geom(i)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(s, L), :],
+                in_buf.at[i % 2, pl.ds(o, L), :],
+                in_sem.at[i % 2],
+            )
+
+        def out_dma(i, q):
+            rows, _, total = STAGE[q]
+            k = min(total - i * rows, rows)
+            return pltpu.make_async_copy(
+                stages[q].at[i % 2, pl.ds(0, k), :],
+                outs[q].at[pl.ds(i * rows, k), :],
+                out_sem.at[i % 2, q],
+            )
+
+        in_dma(0).start()
+        for i in range(ny):
+            if i + 1 < ny:
+                in_dma(i + 1).start()
+            in_dma(i).wait()
+            t = in_buf[i % 2]
+            want_lo = i * ty - TOP2
+            if i == 0:
+                t = _mirror_head_sub(t, TOP2, HALO2)
+            if i * ty + ty + HALO2 > h:
+                er = (h - 1) - want_lo
+                assert er + HALO2 <= tyw - 1, (i, er, tyw)
+                t = _mirror_tail_sub(t, er, HALO2)
+            ll, hl1, lh1, hh1 = _analysis2d_poly(
+                t, wavelet, row_edges=(True, True)
+            )
+            c = TOP2 // 2
+            # level-1 bottom fixup: the oracle extends the LL signal
+            # whole-point around its own last sample (same rule as
+            # ops/fused._2lvl_kernel's er_ll fix)
+            if want_lo + tyw > h:
+                er_ll = h // 2 - 1 - want_lo // 2
+                assert er_ll + HALO2 // 2 <= tyw // 2 - 1, (i, er_ll)
+                ll = _mirror_tail_sub(ll, er_ll, HALO2 // 2)
+            ll2, hl2, lh2, hh2 = _analysis2d_poly(
+                ll, wavelet, row_edges=(True, True)
+            )
+            c2 = c // 2
+            if i >= 2:
+                for q in range(7):
+                    out_dma(i - 2, q).wait()
+            quads = (ll2[c2 : c2 + qy], hl2[c2 : c2 + qy],
+                     lh2[c2 : c2 + qy], hh2[c2 : c2 + qy],
+                     hl1[c : c + hy], lh1[c : c + hy], hh1[c : c + hy])
+            for q in range(7):
+                stages[q][i % 2, :] = quads[q]
+            for q in range(7):
+                out_dma(i, q).start()
+        for i in (ny - 2, ny - 1):
+            for q in range(7):
+                out_dma(i, q).wait()
+
+    sd4 = jax.ShapeDtypeStruct((h // 4, w // 4), x.dtype)
+    sd2 = jax.ShapeDtypeStruct((h // 2, w // 2), x.dtype)
+    ll2, hl2, lh2, hh2, hl1, lh1, hh1 = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in range(7)),
+        out_shape=(sd4, sd4, sd4, sd4, sd2, sd2, sd2),
+        scratch_shapes=[pltpu.VMEM((2, tyw, w), x.dtype)]
+        + [pltpu.VMEM((2, qy, qx), x.dtype)] * 4
+        + [pltpu.VMEM((2, hy, hx), x.dtype)] * 3
+        + [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2, 7))],
+        interpret=interpret,
+        compiler_params=None if interpret else _params(),
+    )(x)
+    return ll2, (hl2, lh2, hh2), (hl1, lh1, hh1)
+
+
+# --------------------------------------------------------------- inverse
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret"))
+def streamed_idwt2_level(
+    ll, hl, lh, hh,
+    wavelet="cdf97",
+    strip_rows: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-level inverse (inverse of :func:`streamed_dwt2_level`).
+
+    Reads the raw band arrays in place: channel-domain border mirrors
+    (the virt2real rules of /root/reference/src/dwt-sym.c:434-534 in
+    the channel domain) are materialized in VMEM on edge strips only.
+    """
+    wavelet = get_wavelet(wavelet)
+    _check_fused_supported(wavelet)
+    cy, cx = ll.shape
+    h, w = 2 * cy, 2 * cx
+    if hh.shape != (cy, cx):
+        raise ValueError("streamed inverse needs even dims; use the oracle")
+    ty = max(32, (strip_rows // 16) * 16)
+    ny = -(-h // ty)
+    hy = ty // 2
+    tyw = hy + 2 * TOP
+    if cy <= tyw or ny < 2 or ny > MAX_STRIPS:
+        raise ValueError("geometry outside the streamed kernel's range")
+
+    def geom(i):
+        want_lo = i * hy - TOP
+        s = max(want_lo, 0)
+        e = min(i * hy + hy + TOP, cy)
+        return want_lo, s, e - s, s - want_lo
+
+    def kernel(ll_h, hl_h, lh_h, hh_h, out_h,
+               bll, bhl, blh, bhh, ostage, in_sem, out_sem):
+        bands_h = (ll_h, hl_h, lh_h, hh_h)
+        bufs = (bll, bhl, blh, bhh)
+
+        def in_dma(i, q):
+            _, s, L, o = geom(i)
+            return pltpu.make_async_copy(
+                bands_h[q].at[pl.ds(s, L), :],
+                bufs[q].at[i % 2, pl.ds(o, L), :],
+                in_sem.at[i % 2, q],
+            )
+
+        def out_dma(i):
+            k = min(h - i * ty, ty)
+            return pltpu.make_async_copy(
+                ostage.at[i % 2, pl.ds(0, k), :],
+                out_h.at[pl.ds(i * ty, k), :],
+                out_sem.at[i % 2],
+            )
+
+        for q in range(4):
+            in_dma(0, q).start()
+        for i in range(ny):
+            if i + 1 < ny:
+                for q in range(4):
+                    in_dma(i + 1, q).start()
+            for q in range(4):
+                in_dma(i, q).wait()
+            want_lo = i * hy - TOP
+            fixed = []
+            for q, buf in enumerate(bufs):
+                is_low = q < 2  # ll/hl are row-low 's'; lh/hh row-high 'd'
+                t = buf[i % 2]
+                if i == 0:
+                    t = (_mirror_head_sub(t, TOP, CMIR) if is_low
+                         else _mirror_head_sub_repeat(t, TOP, CMIR))
+                if i * hy + hy + CMIR > cy:
+                    er = (cy - 1) - want_lo
+                    assert er + CMIR <= tyw - 1, (i, er, tyw)
+                    t = (_mirror_tail_sub_repeat(t, er, CMIR) if is_low
+                         else _mirror_tail_sub(t, er, CMIR))
+                fixed.append(t)
+            t = _synthesis2d_poly(*fixed, wavelet, row_edges=(True, True))
+            if i >= 2:
+                out_dma(i - 2).wait()
+            ostage[i % 2, :] = t[2 * TOP : 2 * TOP + ty, :]
+            out_dma(i).start()
+        for i in (ny - 2, ny - 1):
+            out_dma(i).wait()
+
+    out_sd = jax.ShapeDtypeStruct((h, w), ll.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=out_sd,
+        scratch_shapes=[pltpu.VMEM((2, tyw, cx), ll.dtype)] * 4
+        + [pltpu.VMEM((2, ty, w), ll.dtype),
+           pltpu.SemaphoreType.DMA((2, 4)),
+           pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+        compiler_params=None if interpret else _params(),
+    )(ll, hl, lh, hh)
+
+
+@functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret"))
+def streamed_idwt2_2level(
+    ll2, bands2, bands1,
+    wavelet="cdf97",
+    strip_rows: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """TWO reconstruction levels in one pass (inverse of
+    :func:`streamed_dwt2_2level`); needs h, w divisible by 4."""
+    wavelet = get_wavelet(wavelet)
+    _check_fused_supported(wavelet)
+    hl2, lh2, hh2 = bands2
+    hl1, lh1, hh1 = bands1
+    h = hl1.shape[-2] + lh1.shape[-2]
+    w = hl1.shape[-1] + lh1.shape[-1]
+    if h % 4 or w % 4:
+        raise ValueError("needs h, w divisible by 4")
+    ty = max(64, (strip_rows // 32) * 32)
+    ny = -(-h // ty)
+    hy, qy = ty // 2, ty // 4
+    hx, qx = w // 2, w // 4
+    cy1, cy2 = h // 2, h // 4
+    remh = cy1 - (ny - 1) * hy
+    remq = cy2 - (ny - 1) * qy
+    tyw_h = hy + 2 * TOP + (8 if 0 < remh < CFIX else 0)
+    tyw_q = qy + 2 * TOP + (8 if 0 < remq < CFIX else 0)
+    if cy1 <= tyw_h or cy2 <= tyw_q or ny < 2 or ny > MAX_STRIPS:
+        raise ValueError("geometry outside the streamed kernel's range")
+
+    META = [(cy2, qy, tyw_q, True), (cy2, qy, tyw_q, True),
+            (cy2, qy, tyw_q, False), (cy2, qy, tyw_q, False),
+            (cy1, hy, tyw_h, True), (cy1, hy, tyw_h, False),
+            (cy1, hy, tyw_h, False)]
+
+    def geom(i, q):
+        total, stride, _, _ = META[q]
+        want_lo = i * stride - TOP
+        s = max(want_lo, 0)
+        e = min(i * stride + stride + TOP, total)
+        return want_lo, s, e - s, s - want_lo
+
+    def kernel(*refs):
+        bands_h = refs[:7]
+        out_h = refs[7]
+        bufs = refs[8:15]
+        ostage, in_sem, out_sem = refs[15], refs[16], refs[17]
+
+        def in_dma(i, q):
+            _, s, L, o = geom(i, q)
+            return pltpu.make_async_copy(
+                bands_h[q].at[pl.ds(s, L), :],
+                bufs[q].at[i % 2, pl.ds(o, L), :],
+                in_sem.at[i % 2, q],
+            )
+
+        def out_dma(i):
+            k = min(h - i * ty, ty)
+            return pltpu.make_async_copy(
+                ostage.at[i % 2, pl.ds(0, k), :],
+                out_h.at[pl.ds(i * ty, k), :],
+                out_sem.at[i % 2],
+            )
+
+        def fix(t, i, q):
+            total, stride, tyw, is_low = META[q]
+            want_lo = i * stride - TOP
+            if i == 0:
+                t = (_mirror_head_sub(t, TOP, CFIX) if is_low
+                     else _mirror_head_sub_repeat(t, TOP, CFIX))
+            if i * stride + stride + CFIX > total:
+                er = (total - 1) - want_lo
+                assert er + CFIX <= tyw - 1, (i, q, er, tyw)
+                t = (_mirror_tail_sub_repeat(t, er, CFIX) if is_low
+                     else _mirror_tail_sub(t, er, CFIX))
+            return t
+
+        for q in range(7):
+            in_dma(0, q).start()
+        for i in range(ny):
+            if i + 1 < ny:
+                for q in range(7):
+                    in_dma(i + 1, q).start()
+            for q in range(7):
+                in_dma(i, q).wait()
+            l2, x2, y2, z2 = (fix(bufs[q][i % 2], i, q) for q in range(4))
+            t2 = _synthesis2d_poly(l2, x2, y2, z2, wavelet,
+                                   row_edges=(True, True))
+            # LL1 rows [i*hy - TOP, ...) start at t2 row TOP: t2's row
+            # for LL1 row r is 2*(r - want_lo_q) with want_lo_q =
+            # i*qy - TOP, so r = i*hy - TOP lands at row TOP.
+            ll1 = t2[TOP : TOP + tyw_h, :]
+            # LL1 bottom fixup: reconstruction past the image edge must
+            # follow the level-1 channel repeat mirror s[N+m] = s[N-1-m]
+            if i * hy + hy + CFIX > cy1:
+                er1 = (cy1 - 1) - (i * hy - TOP)
+                assert er1 + CFIX <= tyw_h - 1, (i, er1, tyw_h)
+                ll1 = _mirror_tail_sub_repeat(ll1, er1, CFIX)
+            b1 = [fix(bufs[q][i % 2], i, q) for q in range(4, 7)]
+            t1 = _synthesis2d_poly(ll1, *b1, wavelet, row_edges=(True, True))
+            if i >= 2:
+                out_dma(i - 2).wait()
+            ostage[i % 2, :] = t1[2 * TOP : 2 * TOP + ty, :]
+            out_dma(i).start()
+        for i in (ny - 2, ny - 1):
+            out_dma(i).wait()
+
+    out_sd = jax.ShapeDtypeStruct((h, w), ll2.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=out_sd,
+        scratch_shapes=[pltpu.VMEM((2, tyw_q, qx), ll2.dtype)] * 4
+        + [pltpu.VMEM((2, tyw_h, hx), ll2.dtype)] * 3
+        + [pltpu.VMEM((2, ty, w), ll2.dtype),
+           pltpu.SemaphoreType.DMA((2, 7)),
+           pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+        compiler_params=None if interpret else _params(),
+    )(ll2, hl2, lh2, hh2, hl1, lh1, hh1)
+
+
+# --------------------------------------------------------------- pyramids
+
+
+def streamed_wavedec2(x, wavelet="cdf97", level: int = 1,
+                      strip_rows: int = 256, interpret: bool = False):
+    """Multi-level MRA: streamed 2-level kernels while geometry allows,
+    then the fused/XLA tail of :func:`ops.fused.fused_wavedec2`.  Same
+    pytree as wavedec2."""
+    from libdwt_tpu.ops.fused import fused_wavedec2
+
+    coeffs = []
+    ll = x
+    remaining = level
+    while remaining >= 2 and ll.ndim == 2 and streamed_supported(
+        ll.shape, wavelet, strip_rows, levels=2
+    ):
+        ll, b2, b1 = streamed_dwt2_2level(
+            ll, wavelet, strip_rows=strip_rows, interpret=interpret
+        )
+        coeffs.append(b1)
+        coeffs.append(b2)
+        remaining -= 2
+    if remaining:
+        rest = fused_wavedec2(ll, wavelet, remaining, interpret=interpret)
+        ll = rest[0]
+        coeffs.extend(rest[:0:-1])
+    return [ll] + coeffs[::-1]
+
+
+def streamed_waverec2(coeffs, wavelet="cdf97", strip_rows: int = 256,
+                      interpret: bool = False):
+    """Inverse of :func:`streamed_wavedec2` (accepts any wavedec2
+    pytree): streamed 2-level inverses from the coarse end down, with
+    the fused/XLA tail for small or odd-geometry levels."""
+    from libdwt_tpu.ops.fused import fused_waverec2
+
+    ll = coeffs[0]
+    rest = list(coeffs[1:])
+    # coarse levels (small) run on the fused/XLA path until the
+    # streamed geometry is worthwhile
+    while rest:
+        if len(rest) >= 2:
+            b2, b1 = rest[0], rest[1]
+            h = b1[0].shape[-2] + b1[1].shape[-2]
+            w = b1[0].shape[-1] + b1[1].shape[-1]
+            full = (
+                ll.ndim == 2
+                and streamed_supported((h, w), wavelet, strip_rows, levels=2)
+                and ll.shape == b2[0].shape
+                and all(b.shape == b2[0].shape for b in b2)
+                and all(b.shape == (h // 2, w // 2) for b in b1)
+            )
+            if full:
+                ll = streamed_idwt2_2level(
+                    ll, b2, b1, wavelet, strip_rows=strip_rows,
+                    interpret=interpret,
+                )
+                rest = rest[2:]
+                continue
+        ll = fused_waverec2([ll, rest[0]], wavelet, interpret=interpret)
+        rest = rest[1:]
+    return ll

@@ -1,0 +1,135 @@
+"""Streamed (manual-DMA) strip kernels vs the separable oracle.
+
+Same matrix as test_fused: float to tolerance, integers bit-exactly,
+ragged last strips, short-tail penultimate-strip geometry, pyramids.
+Interpret mode on CPU (the compiled path is exercised on the TPU by
+bench.py's gates).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from libdwt_tpu.ops.separable import dwt2_level, idwt2_level
+from libdwt_tpu.ops.separable import wavedec2 as sep_wavedec2
+from libdwt_tpu.ops.streamed import (
+    streamed_dwt2_level,
+    streamed_dwt2_2level,
+    streamed_idwt2_level,
+    streamed_idwt2_2level,
+    streamed_supported,
+    streamed_wavedec2,
+    streamed_waverec2,
+)
+
+FTOL = 3e-6
+# (h, w, strip_rows): includes ragged last strips and the short-tail
+# penultimate-strip margin cases
+GEOMS = [(256, 256, 64), (288, 128, 64), (260, 128, 64), (200, 128, 32),
+         (204, 128, 64), (512, 384, 128)]
+
+
+def _rand(h, w, dtype=np.float32, seed=0):
+    rng = np.random.RandomState(seed)
+    if np.issubdtype(dtype, np.integer):
+        return jnp.asarray(rng.randint(-512, 512, (h, w)).astype(dtype))
+    return jnp.asarray(rng.rand(h, w).astype(dtype))
+
+
+def _maxdiff(a, b):
+    import jax
+
+    return max(
+        float(jnp.abs(x - y).max())
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b))
+    )
+
+
+@pytest.mark.parametrize("h,w,ty", GEOMS)
+def test_streamed_fwd_vs_oracle(h, w, ty):
+    x = _rand(h, w)
+    got = streamed_dwt2_level(x, "cdf97", strip_rows=ty, interpret=True)
+    want = dwt2_level(x, "cdf97")
+    assert _maxdiff(got, want) < FTOL
+
+
+@pytest.mark.parametrize("h,w,ty", GEOMS)
+def test_streamed_inv_roundtrip(h, w, ty):
+    x = _rand(h, w)
+    bands = dwt2_level(x, "cdf97")
+    got = streamed_idwt2_level(*bands, wavelet="cdf97", strip_rows=ty,
+                               interpret=True)
+    assert float(jnp.abs(got - x).max()) < FTOL
+    want = idwt2_level(*bands, wavelet="cdf97")
+    assert float(jnp.abs(got - want).max()) < FTOL
+
+
+@pytest.mark.parametrize("h,w,ty", GEOMS)
+def test_streamed_2lvl_fwd_vs_oracle(h, w, ty):
+    if h % 4 or w % 4:
+        pytest.skip("2-level kernel needs dims divisible by 4")
+    x = _rand(h, w)
+    got = streamed_dwt2_2level(x, "cdf97", strip_rows=ty, interpret=True)
+    ll1, hl1, lh1, hh1 = dwt2_level(x, "cdf97")
+    ll2, hl2, lh2, hh2 = dwt2_level(ll1, "cdf97")
+    want = (ll2, (hl2, lh2, hh2), (hl1, lh1, hh1))
+    assert _maxdiff(got, want) < 1e-5
+
+
+@pytest.mark.parametrize("h,w,ty", GEOMS)
+def test_streamed_2lvl_inv_roundtrip(h, w, ty):
+    if h % 4 or w % 4:
+        pytest.skip("2-level kernel needs dims divisible by 4")
+    x = _rand(h, w)
+    ll1, hl1, lh1, hh1 = dwt2_level(x, "cdf97")
+    ll2, hl2, lh2, hh2 = dwt2_level(ll1, "cdf97")
+    got = streamed_idwt2_2level(ll2, (hl2, lh2, hh2), (hl1, lh1, hh1),
+                                wavelet="cdf97", strip_rows=ty,
+                                interpret=True)
+    assert float(jnp.abs(got - x).max()) < 1e-5
+
+
+@pytest.mark.parametrize("kernelpair", ["1lvl", "2lvl"])
+@pytest.mark.parametrize("wavelet", ["cdf53", "cdf97", "haar"])
+def test_streamed_int_bit_exact(kernelpair, wavelet):
+    h, w = 200, 128
+    xi = _rand(h, w, np.int32)
+    if kernelpair == "1lvl":
+        got = streamed_dwt2_level(xi, wavelet, strip_rows=32, interpret=True)
+        want = dwt2_level(xi, wavelet)
+        assert _maxdiff(got, want) == 0
+        rec = streamed_idwt2_level(*got, wavelet=wavelet, strip_rows=32,
+                                   interpret=True)
+    else:
+        got = streamed_dwt2_2level(xi, wavelet, strip_rows=64, interpret=True)
+        ll1, hl1, lh1, hh1 = dwt2_level(xi, wavelet)
+        ll2, hl2, lh2, hh2 = dwt2_level(ll1, wavelet)
+        assert _maxdiff(got, (ll2, (hl2, lh2, hh2), (hl1, lh1, hh1))) == 0
+        rec = streamed_idwt2_2level(*got, wavelet=wavelet, strip_rows=64,
+                                    interpret=True)
+    assert int(jnp.abs(rec - xi).max()) == 0
+
+
+@pytest.mark.parametrize("level", [2, 3, 5])
+def test_streamed_pyramid_roundtrip(level):
+    h, w = 256, 320
+    x = _rand(h, w)
+    coeffs = streamed_wavedec2(x, "cdf97", level, strip_rows=64,
+                               interpret=True)
+    want = sep_wavedec2(x, "cdf97", level)
+    # deep-level leaves accumulate float association error
+    assert _maxdiff(coeffs, want) < 5e-5
+    rec = streamed_waverec2(coeffs, "cdf97", strip_rows=64, interpret=True)
+    assert float(jnp.abs(rec - x).max()) < 5e-5
+
+
+def test_streamed_geometry_gate():
+    assert not streamed_supported((63, 128), "cdf97", 64)
+    assert not streamed_supported((128, 128), "cdf97", 256)  # single strip
+    assert not streamed_supported((128, 127), "cdf97", 32)
+    assert not streamed_supported((4096, 128), "cdf97", 32)  # too many strips
+    assert streamed_supported((256, 128), "cdf97", 64)
+    assert not streamed_supported((256, 128), "d4", 64)  # asymmetric steps
+    with pytest.raises(ValueError):
+        streamed_dwt2_level(_rand(127, 128), "cdf97", strip_rows=32,
+                            interpret=True)
