@@ -3,11 +3,14 @@
 The reference exposes a global ``accel_type`` 0-16 selecting one of 17
 hand-tuned main-loop kernels (/root/reference/src/libdwt.h:1703-1726,
 dispatch /root/reference/src/libdwt.c:10577-10736).  On TPU that design
-space collapses to two strategies plus a policy:
+space collapses to three strategies plus a policy:
 
   * ``separable`` — pure-XLA batched lifting (the oracle; always valid)
-  * ``fused``     — single-loop Pallas strip kernel (fast path)
-  * ``auto``      — fused when the level geometry supports it, else oracle
+  * ``fused``     — single-loop Pallas strip kernels (auto-pipelined grid)
+  * ``streamed``  — single-loop strip kernels with MANUAL double-buffered
+                    DMA (ops/streamed; overlaps loads/stores with compute)
+  * ``auto``      — the measured per-device crossover table
+                    (tools/tune.py), else built-in thresholds
 
 A global default (set_impl/get_impl) mirrors dwt_util_set_accel; every
 function also takes an explicit ``impl=`` override.
@@ -33,7 +36,7 @@ __all__ = [
     "waverec3",
 ]
 
-_IMPLS = ("auto", "fused", "separable")
+_IMPLS = ("auto", "fused", "separable", "streamed")
 _default_impl = "auto"
 
 #: below this edge length the fused kernel cannot run at all.
@@ -63,13 +66,24 @@ def _on_tpu() -> bool:
         return False
 
 
-def _use_fused(
+def _streamed_ok(h: int, w: int, wavelet, levels: int) -> bool:
+    from libdwt_tpu.ops.streamed import streamed_supported
+
+    return streamed_supported((h, w), wavelet, 256,
+                              levels=2 if levels >= 2 else 1)
+
+
+def _pick_impl(
     h: int, w: int, wavelet, impl: Optional[str], dtype=None,
-    direction: str = "fwd",
-) -> bool:
+    direction: str = "fwd", levels: int = 1,
+) -> str:
+    """Kernel strategy for one transform: 'separable' | 'fused' |
+    'streamed'.  Explicit requests are honoured (raising when the
+    geometry cannot run them); 'auto' consults the measured crossover
+    table (tools/tune.py), then the built-in threshold."""
     impl = impl or _default_impl
     if impl == "separable":
-        return False
+        return impl
     from libdwt_tpu.ops.fused import fused_supported
 
     feasible = min(h, w) >= _FUSED_MIN_SIZE and fused_supported(wavelet)
@@ -79,9 +93,16 @@ def _use_fused(
                 f"fused impl needs min(h,w) >= {_FUSED_MIN_SIZE} and a "
                 "symmetric-step wavelet"
             )
-        return True
+        return impl
+    if impl == "streamed":
+        if not _streamed_ok(h, w, wavelet, levels):
+            raise ValueError(
+                "streamed impl needs even dims (div. by 4 for 2+ levels), "
+                "2..32 strips of rows and a symmetric-step wavelet"
+            )
+        return impl
     if not (feasible and _on_tpu()):
-        return False
+        return "separable"
     # 'auto': prefer the measured crossover table (tools/tune.py runs
     # tune_dispatch on the live device); fall back to the built-in
     # threshold for untuned device kinds / buckets.  Forward and inverse
@@ -90,25 +111,39 @@ def _use_fused(
         from libdwt_tpu.autotune import dispatch_choice
 
         choice = dispatch_choice(h, w, dtype, wavelet, direction)
+        if choice == "streamed" and not _streamed_ok(h, w, wavelet, levels):
+            choice = "fused"
         if choice is not None:
-            return choice == "fused"
-    return min(h, w) >= _AUTO_MIN_SIZE
+            return choice
+    return "fused" if min(h, w) >= _AUTO_MIN_SIZE else "separable"
+
+
+def _use_fused(
+    h: int, w: int, wavelet, impl: Optional[str], dtype=None,
+    direction: str = "fwd",
+) -> bool:
+    return _pick_impl(h, w, wavelet, impl, dtype, direction) == "fused"
 
 
 def dwt2(x, wavelet="cdf97", impl: Optional[str] = None):
     """Single-level 2-D forward transform -> (LL, HL, LH, HH)."""
     h, w = x.shape[-2], x.shape[-1]
-    if _use_fused(h, w, wavelet, impl, x.dtype):
+    choice = _pick_impl(h, w, wavelet, impl, x.dtype)
+    if choice in ("fused", "streamed"):
         interp = not _on_tpu()
+        if choice == "streamed":
+            from libdwt_tpu.ops.streamed import streamed_dwt2_level as level_fn
+        else:
+            level_fn = fused_dwt2_level
         if x.ndim == 2:
-            return fused_dwt2_level(x, wavelet, interpret=interp)
+            return level_fn(x, wavelet, interpret=interp)
         # trace-time loop rather than vmap: vmap folds the batch into the
         # kernel grid and multiplies the VMEM working set (observed OOM
         # on batched 4K frames); sequential launches are VMEM-safe.
         import jax.numpy as jnp
 
         flat = x.reshape((-1,) + x.shape[-2:])
-        per = [fused_dwt2_level(flat[i], wavelet, interpret=interp)
+        per = [level_fn(flat[i], wavelet, interpret=interp)
                for i in range(flat.shape[0])]
         return tuple(
             jnp.stack([p[k] for p in per]).reshape(x.shape[:-2] + per[0][k].shape)
@@ -129,16 +164,26 @@ def idwt2(ll, hl, lh, hh, wavelet="cdf97", impl: Optional[str] = None,
     w = ll.shape[-1] + hh.shape[-1]
     if border != "mirror":
         return _sep.idwt2_level(ll, hl, lh, hh, wavelet, border=border)
-    if _use_fused(h, w, wavelet, impl, ll.dtype, direction="inv"):
+    choice = _pick_impl(h, w, wavelet, impl, ll.dtype, direction="inv")
+    if choice in ("fused", "streamed"):
         interp = not _on_tpu()
+        if choice == "streamed":
+            from libdwt_tpu.ops.streamed import streamed_idwt2_level
+
+            def level_fn(a, b, c, d):
+                return streamed_idwt2_level(a, b, c, d, wavelet=wavelet,
+                                            interpret=interp)
+        else:
+            def level_fn(a, b, c, d):
+                return fused_idwt2_level(a, b, c, d, wavelet,
+                                         interpret=interp)
         if ll.ndim == 2:
-            return fused_idwt2_level(ll, hl, lh, hh, wavelet, interpret=interp)
+            return level_fn(ll, hl, lh, hh)
         import jax.numpy as jnp
 
         shape = ll.shape[:-2]
         fl = [a.reshape((-1,) + a.shape[-2:]) for a in (ll, hl, lh, hh)]
-        per = [fused_idwt2_level(fl[0][i], fl[1][i], fl[2][i], fl[3][i],
-                                 wavelet, interpret=interp)
+        per = [level_fn(fl[0][i], fl[1][i], fl[2][i], fl[3][i])
                for i in range(fl[0].shape[0])]
         out = jnp.stack(per)
         return out.reshape(shape + out.shape[-2:])
@@ -155,16 +200,20 @@ def wavedec2(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str
     """
     h, w = x.shape[-2], x.shape[-1]
     j = resolve_j(h, w, level)
-    if _use_fused(h, w, wavelet, impl, x.dtype):
-        from libdwt_tpu.ops.fused import fused_wavedec2
+    choice = _pick_impl(h, w, wavelet, impl, x.dtype, levels=j)
+    if choice in ("fused", "streamed"):
+        if choice == "streamed":
+            from libdwt_tpu.ops.streamed import streamed_wavedec2 as dec_fn
+        else:
+            from libdwt_tpu.ops.fused import fused_wavedec2 as dec_fn
 
         interp = not _on_tpu()
         if x.ndim == 2:
-            return fused_wavedec2(x, wavelet, j, interpret=interp)
+            return dec_fn(x, wavelet, j, interpret=interp)
         import jax.numpy as jnp
 
         flat = x.reshape((-1,) + x.shape[-2:])
-        per = [fused_wavedec2(flat[i], wavelet, j, interpret=interp)
+        per = [dec_fn(flat[i], wavelet, j, interpret=interp)
                for i in range(flat.shape[0])]
         out = jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *per)
         return jax.tree_util.tree_map(
@@ -192,8 +241,14 @@ def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None,
     if len(coeffs) > 1 and border == "mirror":
         h = coeffs[-1][0].shape[-2] + coeffs[-1][1].shape[-2]
         w = coeffs[-1][0].shape[-1] + coeffs[-1][1].shape[-1]
-        if _use_fused(h, w, wavelet, impl, ll.dtype, direction="inv") \
-                and ll.ndim == 2:
+        choice = _pick_impl(h, w, wavelet, impl, ll.dtype, direction="inv",
+                            levels=len(coeffs) - 1)
+        if choice in ("fused", "streamed") and ll.ndim == 2:
+            if choice == "streamed":
+                from libdwt_tpu.ops.streamed import streamed_waverec2
+
+                return streamed_waverec2(coeffs, wavelet,
+                                         interpret=not _on_tpu())
             from libdwt_tpu.ops.fused import fused_waverec2
 
             return fused_waverec2(coeffs, wavelet, interpret=not _on_tpu())

@@ -158,10 +158,11 @@ def best_config(shape, wavelet="cdf97", dtype=jnp.float32) -> Optional[Dict]:
 # --------------------------------------------------- dispatch-level tuning
 
 
-def _pyramid_candidates(wavelet, levels: int, direction: str = "fwd"):
+def _pyramid_candidates(wavelet, levels: int, direction: str = "fwd",
+                        shape=None):
     """(name, per-frame fn) candidates for a full wavedec2/waverec2
     pyramid.  ``direction='inv'`` candidates take the same frame input
-    and run forward+inverse, so the separable-vs-fused DIFFERENCE is the
+    and run forward+inverse, so the candidate DIFFERENCE is the
     inverse cost (the forward part is identical, the shared fixed cost
     cancels in the comparison)."""
     from libdwt_tpu.ops.fused import (
@@ -169,11 +170,21 @@ def _pyramid_candidates(wavelet, levels: int, direction: str = "fwd"):
     )
     from libdwt_tpu.ops.separable import wavedec2 as sep_wavedec2
     from libdwt_tpu.ops.separable import waverec2 as sep_waverec2
+    from libdwt_tpu.ops.streamed import (
+        streamed_supported, streamed_wavedec2, streamed_waverec2,
+    )
 
+    streamed_ok = shape is not None and levels >= 2 and streamed_supported(
+        shape, wavelet, 256, levels=2
+    )
     if direction == "fwd":
         cands = [("separable", lambda a: sep_wavedec2(a, wavelet, levels))]
         if fused_supported(wavelet):
             cands.append(("fused", lambda a: fused_wavedec2(a, wavelet, levels)))
+        if streamed_ok:
+            cands.append(
+                ("streamed", lambda a: streamed_wavedec2(a, wavelet, levels))
+            )
         return cands
     cands = [
         ("separable",
@@ -183,6 +194,12 @@ def _pyramid_candidates(wavelet, levels: int, direction: str = "fwd"):
         cands.append(
             ("fused",
              lambda a: fused_waverec2(sep_wavedec2(a, wavelet, levels), wavelet))
+        )
+    if streamed_ok:
+        cands.append(
+            ("streamed",
+             lambda a: streamed_waverec2(sep_wavedec2(a, wavelet, levels),
+                                         wavelet))
         )
     return cands
 
@@ -248,7 +265,9 @@ def tune_dispatch(
     for n in sizes:
         for direction in ("fwd", "inv"):
             rows = {}
-            for name, frame_fn in _pyramid_candidates(wavelet, levels, direction):
+            for name, frame_fn in _pyramid_candidates(
+                wavelet, levels, direction, shape=(n, n)
+            ):
                 try:
                     rows[name] = _chain_slope_secs(
                         frame_fn, n, dtype, trials=trials

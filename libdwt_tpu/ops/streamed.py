@@ -74,6 +74,13 @@ MAX_STRIPS = 32
 _VMEM_LIMIT = 96 * 1024 * 1024
 
 
+def pick_strip(h: int, preferred: int = 256) -> int:
+    """Strip rows: the preferred size, shrunk so the image still splits
+    into >= 2 strips (the double-buffer needs a pipeline), 32-aligned."""
+    ty = min(preferred, ((h // 2) // 32) * 32)
+    return max(64, ty)
+
+
 def _params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
@@ -87,7 +94,7 @@ def streamed_supported(shape, wavelet, strip_rows: int, levels: int = 1) -> bool
     div = 4 if levels == 2 else 2
     if h % div or w % div or not fused_supported(wavelet):
         return False
-    ty = max(64, (strip_rows // 32) * 32)
+    ty = pick_strip(h, strip_rows or 256)
     ny = -(-h // ty)
     if not (2 <= ny <= MAX_STRIPS and h > ty + 48):
         return False
@@ -103,7 +110,7 @@ def streamed_supported(shape, wavelet, strip_rows: int, levels: int = 1) -> bool
 def streamed_dwt2_level(
     x: jax.Array,
     wavelet="cdf97",
-    strip_rows: int = 256,
+    strip_rows: int = 0,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Single-level forward 2-D DWT -> (LL, HL, LH, HH); even h, w.
@@ -115,7 +122,7 @@ def streamed_dwt2_level(
     h, w = x.shape
     if h % 2 or w % 2:
         raise ValueError("streamed kernel needs even dims; use the oracle")
-    ty = max(32, (strip_rows // 16) * 16)
+    ty = pick_strip(h, strip_rows or 256)
     ny = -(-h // ty)
     rem = h - (ny - 1) * ty
     # +8 tail margin when a short last strip pushes the PENULTIMATE
@@ -199,7 +206,7 @@ def streamed_dwt2_level(
 def streamed_dwt2_2level(
     x: jax.Array,
     wavelet="cdf97",
-    strip_rows: int = 256,
+    strip_rows: int = 0,
     interpret: bool = False,
 ):
     """TWO forward levels in one pass over the image (the multi-scale
@@ -212,7 +219,7 @@ def streamed_dwt2_2level(
     if h % 4 or w % 4:
         raise ValueError("needs h, w divisible by 4")
     TOP2 = 16  # level-1 keeps an 8-row channel halo above every strip
-    ty = max(64, (strip_rows // 32) * 32)
+    ty = pick_strip(h, strip_rows or 256)
     ny = -(-h // ty)
     rem = h - (ny - 1) * ty
     tyw = ty + 2 * TOP2 + (16 if 0 < rem < TOP2 else 0)
@@ -319,7 +326,7 @@ def streamed_dwt2_2level(
 def streamed_idwt2_level(
     ll, hl, lh, hh,
     wavelet="cdf97",
-    strip_rows: int = 256,
+    strip_rows: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Single-level inverse (inverse of :func:`streamed_dwt2_level`).
@@ -334,7 +341,7 @@ def streamed_idwt2_level(
     h, w = 2 * cy, 2 * cx
     if hh.shape != (cy, cx):
         raise ValueError("streamed inverse needs even dims; use the oracle")
-    ty = max(32, (strip_rows // 16) * 16)
+    ty = pick_strip(h, strip_rows or 256)
     ny = -(-h // ty)
     hy = ty // 2
     tyw = hy + 2 * TOP
@@ -418,7 +425,7 @@ def streamed_idwt2_level(
 def streamed_idwt2_2level(
     ll2, bands2, bands1,
     wavelet="cdf97",
-    strip_rows: int = 256,
+    strip_rows: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """TWO reconstruction levels in one pass (inverse of
@@ -431,7 +438,7 @@ def streamed_idwt2_2level(
     w = hl1.shape[-1] + lh1.shape[-1]
     if h % 4 or w % 4:
         raise ValueError("needs h, w divisible by 4")
-    ty = max(64, (strip_rows // 32) * 32)
+    ty = pick_strip(h, strip_rows or 256)
     ny = -(-h // ty)
     hy, qy = ty // 2, ty // 4
     hx, qx = w // 2, w // 4
@@ -541,7 +548,7 @@ def streamed_idwt2_2level(
 
 
 def streamed_wavedec2(x, wavelet="cdf97", level: int = 1,
-                      strip_rows: int = 256, interpret: bool = False):
+                      strip_rows: int = 0, interpret: bool = False):
     """Multi-level MRA: streamed 2-level kernels while geometry allows,
     then the fused/XLA tail of :func:`ops.fused.fused_wavedec2`.  Same
     pytree as wavedec2."""
@@ -566,7 +573,7 @@ def streamed_wavedec2(x, wavelet="cdf97", level: int = 1,
     return [ll] + coeffs[::-1]
 
 
-def streamed_waverec2(coeffs, wavelet="cdf97", strip_rows: int = 256,
+def streamed_waverec2(coeffs, wavelet="cdf97", strip_rows: int = 0,
                       interpret: bool = False):
     """Inverse of :func:`streamed_wavedec2` (accepts any wavedec2
     pytree): streamed 2-level inverses from the coarse end down, with

@@ -48,3 +48,28 @@ def test_autotune_caches_winner():
     assert best_config((64, 64), "cdf97") == cfg
     # second call hits the cache (same object)
     assert autotune_dwt2((64, 64), "cdf97", trials=1) is cfg
+
+
+def test_streamed_impl_agrees_and_rejects():
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.RandomState(3).rand(256, 320).astype(np.float32))
+    a = api.wavedec2(x, "cdf97", 3, impl="separable")
+    c = api.wavedec2(x, "cdf97", 3, impl="streamed")
+    import jax
+
+    for u, v in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(c)):
+        assert float(jnp.abs(u - v).max()) < 5e-5
+    rec = api.waverec2(c, "cdf97", impl="streamed")
+    assert float(jnp.abs(rec - x).max()) < 5e-5
+    # single level + inverse
+    ll, hl, lh, hh = api.dwt2(x, "cdf97", impl="streamed")
+    back = api.idwt2(ll, hl, lh, hh, "cdf97", impl="streamed")
+    assert float(jnp.abs(back - x).max()) < 5e-6
+    # odd geometry cannot run streamed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api.dwt2(x[:255], "cdf97", impl="streamed")

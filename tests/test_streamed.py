@@ -125,9 +125,10 @@ def test_streamed_pyramid_roundtrip(level):
 
 def test_streamed_geometry_gate():
     assert not streamed_supported((63, 128), "cdf97", 64)
-    assert not streamed_supported((128, 128), "cdf97", 256)  # single strip
+    assert not streamed_supported((96, 128), "cdf97", 0)  # too short
     assert not streamed_supported((128, 127), "cdf97", 32)
-    assert not streamed_supported((4096, 128), "cdf97", 32)  # too many strips
+    assert not streamed_supported((16384, 128), "cdf97", 0)  # > MAX_STRIPS
+    assert streamed_supported((128, 128), "cdf97", 0)  # adaptive strips
     assert streamed_supported((256, 128), "cdf97", 64)
     assert not streamed_supported((256, 128), "d4", 64)  # asymmetric steps
     with pytest.raises(ValueError):
