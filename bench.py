@@ -172,6 +172,23 @@ def _gates(xs, fwd_coeffs, rec, gate_results):
         d = float(jax.jit(_tree_max_abs_diff)(fus, sep))
         assert d <= 5e-4, f"fused vs oracle max|diff|={d}"
 
+    # 1b. the streamed (manual-DMA) pyramid + reconstruction, on-device
+    def g_streamed_vs_oracle():
+        from libdwt_tpu.ops.streamed import (
+            streamed_waverec2, streamed_wavedec2,
+        )
+
+        x0 = xs[0]
+        st = jax.jit(lambda a: streamed_wavedec2(a, "cdf97", LEVELS))(x0)
+        sep = jax.jit(
+            lambda a: wavedec2(a, "cdf97", LEVELS, impl="separable")
+        )(x0)
+        d = float(jax.jit(_tree_max_abs_diff)(st, sep))
+        assert d <= 5e-4, f"streamed vs oracle max|diff|={d}"
+        rec = jax.jit(lambda c: streamed_waverec2(c, "cdf97"))(st)
+        dr = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(rec, x0))
+        assert dr <= 1e-3, f"streamed round trip max|err|={dr}"
+
     # 2. the timed reconstruction must round-trip the original frames
     def g_roundtrip_4k():
         d = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(rec, xs))
@@ -211,6 +228,7 @@ def _gates(xs, fwd_coeffs, rec, gate_results):
         assert float(jnp.abs(rf - xf).max()) <= EPS, "float round trip out of eps"
 
     gate("fused_vs_oracle_4k", g_fused_vs_oracle)
+    gate("streamed_vs_oracle_4k", g_streamed_vs_oracle)
     gate("roundtrip_4k", g_roundtrip_4k)
     gate("int_fused_512", g_int_fused)
     gate("odd_fused_513x511", g_odd_fused)
@@ -327,6 +345,14 @@ def main():
     _gates(xs_b, coeffs_b, rec_b, gate_results)
     gates_ok = all(v == "ok" for v in gate_results.values())
 
+    # record which impl the tuned 'auto' dispatch actually timed
+    from libdwt_tpu.api import _pick_impl
+
+    auto_impl = {
+        "fwd": _pick_impl(h, w, "cdf97", None, jnp.float32, "fwd", LEVELS),
+        "inv": _pick_impl(h, w, "cdf97", None, jnp.float32, "inv", LEVELS),
+    }
+
     # Minimal HBM traffic for the level pyramid: level j reads+writes
     # h*w/4^j pixels at 4B each.
     bytes_per_pixel = sum(8.0 / 4**j for j in range(LEVELS))
@@ -350,6 +376,7 @@ def main():
                 "unit": "Mpix/s",
                 "vs_baseline": round(vs_baseline, 4),
                 "extra": {
+                    "auto_impl": auto_impl,
                     "inverse_mpix_s": round(mpix_inv, 1),
                     "inverse_vs_target": round(mpix_inv / target, 4),
                     "fwd3d_mvox_s": round(mvox_s, 1),

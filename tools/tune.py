@@ -26,7 +26,16 @@ def main():
     ap.add_argument("--levels", type=int, default=3)
     ap.add_argument("--trials", type=int, default=10)
     ap.add_argument("--out", default=None, help="override tune-file path")
+    ap.add_argument("--packaged", action="store_true",
+                    help="write straight into the packaged table "
+                         "(libdwt_tpu/data/autotune.json) that ships with "
+                         "the wheel and that fresh processes consult")
     args = ap.parse_args()
+    if args.packaged:
+        args.out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "libdwt_tpu", "data", "autotune.json",
+        )
     if args.out:
         os.environ["LIBDWT_TPU_TUNE_FILE"] = args.out
 
