@@ -257,17 +257,41 @@ def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None,
     return ll
 
 
-def _use_fused3(shape3, wavelet, impl) -> bool:
+def _pick_impl3(shape3, wavelet, impl) -> str:
+    """3-D strategy: 'separable' | 'fused' | 'streamed'."""
+    impl = impl or _default_impl
+    if impl == "separable":
+        return impl
+    if impl == "streamed":
+        from libdwt_tpu.ops.streamed3d import streamed3d_supported
+
+        if not streamed3d_supported(shape3, wavelet):
+            raise ValueError(
+                "streamed 3-D impl needs even dims, 2..32 (z, y) tiles "
+                "and a symmetric-step wavelet"
+            )
+        return impl
     from libdwt_tpu.ops.fused import fused_supported
 
     z, yy, xx = shape3
-    return (
-        (impl or _default_impl) != "separable"
-        and fused_supported(wavelet)
+    ok = (
+        fused_supported(wavelet)
         and _on_tpu()
         and z % 2 == 0 and yy % 2 == 0 and xx % 2 == 0
         and min(z, yy, xx) > 4
     )
+    if not ok:
+        return "separable"
+    # 'auto' keeps the grid kernels until the streamed 3-D pair has a
+    # measured on-device win (see ops/streamed3d)
+    return "fused"
+
+
+def _use_fused3(shape3, wavelet, impl) -> bool:
+    try:
+        return _pick_impl3(shape3, wavelet, impl) != "separable"
+    except ValueError:
+        return False
 
 
 def wavedec3(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str] = None):
@@ -289,7 +313,15 @@ def wavedec3(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str
         bands = None
         if x.ndim == 3 and _use_fused3(low.shape[-3:], wavelet, impl):
             try:
-                bands = fused_dwt3_level(low, wavelet)
+                choice = _pick_impl3(low.shape[-3:], wavelet, impl)
+                if choice == "streamed":
+                    from libdwt_tpu.ops.streamed3d import streamed_dwt3_level
+
+                    bands = streamed_dwt3_level(
+                        low, wavelet, interpret=not _on_tpu()
+                    )
+                else:
+                    bands = fused_dwt3_level(low, wavelet)
             except ValueError:
                 bands = None
         if bands is None:
@@ -315,7 +347,15 @@ def waverec3(coeffs, wavelet="cdf97", impl: Optional[str] = None):
             b.shape == low.shape for b in full.values()
         ):
             try:
-                rec = fused_idwt3_level(full, wavelet)
+                choice = _pick_impl3(shape3, wavelet, impl)
+                if choice == "streamed":
+                    from libdwt_tpu.ops.streamed3d import streamed_idwt3_level
+
+                    rec = streamed_idwt3_level(
+                        full, wavelet, interpret=not _on_tpu()
+                    )
+                else:
+                    rec = fused_idwt3_level(full, wavelet)
             except ValueError:
                 rec = None
         if rec is None:

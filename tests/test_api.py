@@ -73,3 +73,19 @@ def test_streamed_impl_agrees_and_rejects():
 
     with _pytest.raises(ValueError):
         api.dwt2(x[:255], "cdf97", impl="streamed")
+
+
+def test_streamed3d_impl():
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    v = jnp.asarray(np.random.RandomState(5).rand(32, 64, 128).astype(np.float32))
+    c = api.wavedec3(v, "cdf97", 2, impl="streamed")
+    s = api.wavedec3(v, "cdf97", 2, impl="separable")
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(c), jax.tree_util.tree_leaves(s)):
+        assert float(jnp.abs(a - b).max()) < 1e-5
+    rec = api.waverec3(c, "cdf97", impl="streamed")
+    assert float(jnp.abs(rec - v).max()) < 1e-5
