@@ -33,6 +33,7 @@ _CASES = {
     "spectra_swt.py": ["--n-signals", "4", "--length", "128", "--levels", "2"],
     "displ_vectors.py": ["--count", "8", "--levels", "3", "--keep", "40"],
     "nsls_demo.py": ["--size", "64"],
+    "wavelet_func2d.py": ["--size", "64"],
 }
 
 
@@ -46,7 +47,7 @@ def test_example_runs(name, tmp_path):
     # route file outputs into the sandbox
     if name in ("io_roundtrip.py", "mra.py", "spectra_fe.py", "timefreq.py",
                 "function_iterating.py", "spectra_swt.py",
-                "displ_vectors.py"):
+                "displ_vectors.py", "wavelet_func2d.py"):
         args += ["--out", str(tmp_path / "out")]
     res = subprocess.run(
         [sys.executable, script, *args],
