@@ -134,3 +134,41 @@ def test_streamed_geometry_gate():
     with pytest.raises(ValueError):
         streamed_dwt2_level(_rand(127, 128), "cdf97", strip_rows=32,
                             interpret=True)
+
+
+# ------------------------------------------------------- seeded geometry fuzz
+
+_FRNG = np.random.RandomState(20260818)
+# arbitrary even geometries and strip sizes: the static per-strip
+# margin/bump arithmetic is exactly where bugs would hide
+_FUZZ = []
+while len(_FUZZ) < 14:
+    h = 2 * int(_FRNG.randint(40, 260))
+    w = 2 * int(_FRNG.randint(40, 140))
+    ty = 16 * int(_FRNG.randint(2, 12))
+    if h > ty + 48 and 2 <= -(-h // max(64, (ty // 32) * 32)) <= 32:
+        _FUZZ.append((h, w, ty))
+
+
+@pytest.mark.parametrize("h,w,ty", _FUZZ)
+def test_streamed_fuzz_1lvl(h, w, ty):
+    x = _rand(h, w, seed=h * 31 + w)
+    got = streamed_dwt2_level(x, "cdf97", strip_rows=ty, interpret=True)
+    want = dwt2_level(x, "cdf97")
+    assert _maxdiff(got, want) < FTOL
+    rec = streamed_idwt2_level(*want, wavelet="cdf97", strip_rows=ty,
+                               interpret=True)
+    assert float(jnp.abs(rec - x).max()) < FTOL
+
+
+@pytest.mark.parametrize("h,w,ty", [g for g in _FUZZ if not (g[0] % 4 or g[1] % 4)][:8])
+def test_streamed_fuzz_2lvl(h, w, ty):
+    x = _rand(h, w, seed=h * 37 + w)
+    ll1, hl1, lh1, hh1 = dwt2_level(x, "cdf97")
+    ll2, hl2, lh2, hh2 = dwt2_level(ll1, "cdf97")
+    got = streamed_dwt2_2level(x, "cdf97", strip_rows=ty, interpret=True)
+    assert _maxdiff(got, (ll2, (hl2, lh2, hh2), (hl1, lh1, hh1))) < 1e-5
+    rec = streamed_idwt2_2level(ll2, (hl2, lh2, hh2), (hl1, lh1, hh1),
+                                wavelet="cdf97", strip_rows=ty,
+                                interpret=True)
+    assert float(jnp.abs(rec - x).max()) < 1e-5
