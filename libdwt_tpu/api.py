@@ -257,7 +257,8 @@ def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None,
     return ll
 
 
-def _pick_impl3(shape3, wavelet, impl) -> str:
+def _pick_impl3(shape3, wavelet, impl, dtype=None,
+                direction: str = "fwd") -> str:
     """3-D strategy: 'separable' | 'fused' | 'streamed'."""
     impl = impl or _default_impl
     if impl == "separable":
@@ -282,8 +283,18 @@ def _pick_impl3(shape3, wavelet, impl) -> str:
     )
     if not ok:
         return "separable"
-    # 'auto' keeps the grid kernels until the streamed 3-D pair has a
-    # measured on-device win (see ops/streamed3d)
+    # 'auto': prefer the measured 3-D table (tools/tune.py --volume)
+    if dtype is not None:
+        from libdwt_tpu.autotune import volume_choice
+
+        choice = volume_choice(dtype, wavelet, direction)
+        if choice == "streamed":
+            from libdwt_tpu.ops.streamed3d import streamed3d_supported
+
+            if not streamed3d_supported(shape3, wavelet):
+                choice = "fused"
+        if choice is not None:
+            return choice
     return "fused"
 
 
@@ -313,7 +324,8 @@ def wavedec3(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str
         bands = None
         if x.ndim == 3 and _use_fused3(low.shape[-3:], wavelet, impl):
             try:
-                choice = _pick_impl3(low.shape[-3:], wavelet, impl)
+                choice = _pick_impl3(low.shape[-3:], wavelet, impl,
+                                     low.dtype, "fwd")
                 if choice == "streamed":
                     from libdwt_tpu.ops.streamed3d import streamed_dwt3_level
 
@@ -347,7 +359,8 @@ def waverec3(coeffs, wavelet="cdf97", impl: Optional[str] = None):
             b.shape == low.shape for b in full.values()
         ):
             try:
-                choice = _pick_impl3(shape3, wavelet, impl)
+                choice = _pick_impl3(shape3, wavelet, impl,
+                                     low.dtype, "inv")
                 if choice == "streamed":
                     from libdwt_tpu.ops.streamed3d import streamed_idwt3_level
 

@@ -297,6 +297,120 @@ def tune_dispatch(
     return mine
 
 
+def _volume_candidates(wavelet, shape3, direction: str = "fwd"):
+    """(name, per-volume fn) candidates for a single-level 3-D
+    transform; 'inv' runs forward+inverse (shared forward cancels)."""
+    from libdwt_tpu.ops.fused3d import fused_dwt3_level, fused_idwt3_level
+    from libdwt_tpu.ops.separable import dwt3_level, idwt3_level
+    from libdwt_tpu.ops.streamed3d import (
+        streamed3d_supported, streamed_dwt3_level, streamed_idwt3_level,
+    )
+
+    streamed_ok = streamed3d_supported(shape3, wavelet)
+    if direction == "fwd":
+        cands = [("separable", lambda v: dwt3_level(v, wavelet)),
+                 ("fused", lambda v: fused_dwt3_level(v, wavelet))]
+        if streamed_ok:
+            cands.append(("streamed", lambda v: streamed_dwt3_level(v, wavelet)))
+        return cands
+    cands = [
+        ("separable", lambda v: idwt3_level(dwt3_level(v, wavelet), wavelet)),
+        ("fused", lambda v: fused_idwt3_level(dwt3_level(v, wavelet), wavelet)),
+    ]
+    if streamed_ok:
+        cands.append(
+            ("streamed",
+             lambda v: streamed_idwt3_level(dwt3_level(v, wavelet), wavelet))
+        )
+    return cands
+
+
+def tune_dispatch3(
+    shape3=(64, 512, 512),
+    wavelet="cdf97",
+    dtype=jnp.float32,
+    trials: int = 8,
+    save: bool = True,
+) -> Dict:
+    """Measure the 3-D single-level crossover (separable vs fused vs
+    streamed) on the live device; persisted under a 'vol:' key and
+    consulted by api._pick_impl3's 'auto'."""
+    import time
+
+    kind = _device_kind()
+    table = dict(_load_disk())
+    mine = dict(table.get(kind, {}))
+    z, y, x = shape3
+    rng = np.random.RandomState(0)
+    for direction in ("fwd", "inv"):
+        rows = {}
+        for name, vol_fn in _volume_candidates(wavelet, shape3, direction):
+            def chain(stack, fn=vol_fn):
+                def body(_, v):
+                    s, _t = _checksummed(fn(v))
+                    return None, s
+
+                return jnp.sum(jax.lax.scan(body, None, stack)[1])
+
+            try:
+                fn = jax.jit(chain)
+                ka, kb = 2, 6
+                stacks = {
+                    k: jnp.asarray(
+                        rng.rand(k, z, y, x).astype(jnp.dtype(dtype))
+                    )
+                    for k in (ka, kb)
+                }
+                for k in (ka, kb):
+                    float(jax.device_get(fn(stacks[k])))
+                best = {ka: float("inf"), kb: float("inf")}
+                for _ in range(trials):
+                    for k in (ka, kb):
+                        t0 = time.perf_counter()
+                        float(jax.device_get(fn(stacks[k])))
+                        best[k] = min(best[k], time.perf_counter() - t0)
+                slope = (best[kb] - best[ka]) / (kb - ka)
+                upper = best[kb] / kb
+                rows[name] = slope if 0.05 * upper < slope <= upper else upper
+            except Exception as e:  # pragma: no cover - device-dependent
+                import sys
+
+                print(f"tune3: {direction}:{name} failed: "
+                      f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
+                continue
+        if not rows:
+            continue
+        winner = min(rows, key=rows.get)
+        suffix = "" if direction == "fwd" else ":inv"
+        mine[f"vol:{jnp.dtype(dtype).name}:{wavelet}{suffix}"] = {
+            "impl": winner,
+            "secs": rows,
+        }
+    table[kind] = mine
+    if save:
+        _save_disk(table)
+    global _DISK
+    _DISK = table
+    return mine
+
+
+def volume_choice(dtype, wavelet, direction: str = "fwd") -> Optional[str]:
+    """Measured 3-D 'auto' choice for the device kind, or None."""
+    disk = _load_disk()
+    mine = disk.get(_device_kind())
+    if not mine:
+        return None
+    base = f"vol:{jnp.dtype(dtype).name}:{get_name(wavelet)}"
+    entry = None
+    if direction == "inv":
+        entry = mine.get(base + ":inv")
+    if entry is None:
+        entry = mine.get(base)
+    if entry is None:
+        return None
+    return entry.get("impl")
+
+
 def dispatch_choice(
     h: int, w: int, dtype, wavelet, direction: str = "fwd"
 ) -> Optional[str]:

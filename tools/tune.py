@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--levels", type=int, default=3)
     ap.add_argument("--trials", type=int, default=10)
     ap.add_argument("--out", default=None, help="override tune-file path")
+    ap.add_argument("--volume", default=None,
+                    help="also tune the 3-D dispatch at Z,Y,X (e.g. "
+                         "64,512,512)")
     ap.add_argument("--packaged", action="store_true",
                     help="write straight into the packaged table "
                          "(libdwt_tpu/data/autotune.json) that ships with "
@@ -65,6 +68,11 @@ def main():
         levels=args.levels,
         trials=args.trials,
     )
+    if args.volume:
+        shape3 = tuple(int(s) for s in args.volume.split(","))
+        table = autotune.tune_dispatch3(
+            shape3=shape3, wavelet=args.wavelet, trials=args.trials
+        )
     print(json.dumps(table, indent=1, sort_keys=True))
     print(f"saved to {autotune.tune_file()}", file=sys.stderr)
 
