@@ -42,17 +42,24 @@ from libdwt_tpu.ops.fused import (
     CFIX,
     HALO,
     HALO2,
+    _DEEP_VMEM_LIMIT,
     _analysis2d_poly,
     _check_fused_supported,
+    _deint_sub,
+    _lift_interleaved,
+    _mirror_ext2,
     _mirror_head_sub,
     _mirror_head_sub_repeat,
     _mirror_tail_sub,
     _mirror_tail_sub_repeat,
+    _scale_interleaved,
     _synthesis2d_poly,
 )
 
 __all__ = [
     "streamed_supported",
+    "streamed_deep_ok",
+    "streamed_wavedec2_deep",
     "streamed_dwt2_level",
     "streamed_dwt2_2level",
     "streamed_idwt2_level",
@@ -554,6 +561,17 @@ def streamed_wavedec2(x, wavelet="cdf97", level: int = 1,
     pytree as wavedec2."""
     from libdwt_tpu.ops.fused import fused_wavedec2
 
+    if (
+        x.ndim == 2
+        and level >= 3
+        and streamed_deep_ok(x.shape, x.dtype.itemsize, wavelet, level,
+                             strip_rows)
+    ):
+        # whole pyramid in one launch: levels 1-2 streamed, the tail on
+        # the VMEM-resident LL2
+        return streamed_wavedec2_deep(
+            x, wavelet, level, strip_rows=strip_rows, interpret=interpret
+        )
     coeffs = []
     ll = x
     remaining = level
@@ -606,3 +624,208 @@ def streamed_waverec2(coeffs, wavelet="cdf97", strip_rows: int = 0,
         ll = fused_waverec2([ll, rest[0]], wavelet, interpret=interpret)
         rest = rest[1:]
     return ll
+
+
+# ----------------------------------------------- whole pyramid, one launch
+
+
+def streamed_deep_ok(shape, dtype_itemsize: int, wavelet, level: int,
+                     strip_rows: int = 0) -> bool:
+    """Geometry gate for :func:`streamed_wavedec2_deep`: the streamed
+    2-level gate, level >= 3, LL2 (h/4 x w/4) small enough to live in
+    VMEM through the deep tail, and enough samples for the tail."""
+    h, w = shape
+    if level < 3 or not streamed_supported(shape, wavelet, strip_rows, 2):
+        return False
+    qh, qw = h // 4, w // 4
+    if (qh + 8) * (qw + 8) * dtype_itemsize > _DEEP_VMEM_LIMIT:
+        return False
+    return min(qh, qw) >> (level - 3) > 2 * HALO
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "wavelet", "level", "strip_rows", "interpret"))
+def streamed_wavedec2_deep(
+    x: jax.Array,
+    wavelet="cdf97",
+    level: int = 3,
+    strip_rows: int = 0,
+    interpret: bool = False,
+):
+    """The ENTIRE multi-level pyramid in ONE kernel launch: levels 1-2
+    stream through double-buffered strips (exactly
+    :func:`streamed_dwt2_2level`) while LL2 accumulates in a persistent
+    VMEM buffer; the remaining ``level - 2`` levels then run on that
+    buffer in-kernel (the deep-pyramid tail of
+    :func:`libdwt_tpu.ops.fused.fused_deep_wavedec2`), so the frame is
+    read from HBM once and the LL2 round trip disappears.  Returns the
+    wavedec2 pytree.  Float path only gates on geometry; integers work
+    identically (bit-exact)."""
+    wavelet = get_wavelet(wavelet)
+    _check_fused_supported(wavelet)
+    h, w = x.shape
+    if level < 3:
+        raise ValueError("use streamed_dwt2_2level for level <= 2")
+    if h % 4 or w % 4:
+        raise ValueError("needs h, w divisible by 4")
+    deep_levels = level - 2
+    TOP2 = 16
+    ty = pick_strip(h, strip_rows or 256)
+    ny = -(-h // ty)
+    rem = h - (ny - 1) * ty
+    tyw = ty + 2 * TOP2 + (16 if 0 < rem < TOP2 else 0)
+    if h <= tyw or ny < 2 or ny > MAX_STRIPS:
+        raise ValueError("geometry outside the streamed kernel's range")
+    hy, qy = ty // 2, ty // 4
+    hx, qx = w // 2, w // 4
+    cy2, cx2 = h // 4, w // 4
+    if (cy2 + 8) * (cx2 + 8) * x.dtype.itemsize > _DEEP_VMEM_LIMIT:
+        raise ValueError("LL2 too large to hold the deep tail in VMEM")
+    if min(cy2, cx2) >> (deep_levels - 1) <= 2 * HALO:
+        raise ValueError("too many levels for this size")
+
+    # deep-tail output shapes (per level: hl, lh, hh; then the final LL)
+    deep_shapes = []
+    ch, cw = cy2, cx2
+    for _ in range(deep_levels):
+        cy_, cx_ = -(-ch // 2), -(-cw // 2)
+        fy_, fx_ = ch // 2, cw // 2
+        deep_shapes.append(((cy_, fx_), (fy_, cx_), (fy_, fx_)))
+        ch, cw = cy_, cx_
+    n_deep = 3 * deep_levels + 1
+
+    def geom(i):
+        want_lo = i * ty - TOP2
+        s = max(want_lo, 0)
+        e = min(i * ty + ty + TOP2, h)
+        return want_lo, s, e - s, s - want_lo
+
+    STAGE = [(qy, qx, h // 4)] * 3 + [(hy, hx, h // 2)] * 3
+
+    def kernel(x_hbm, *refs):
+        strip_outs = refs[:6]           # hl2, lh2, hh2, hl1, lh1, hh1 (ANY)
+        deep_outs = refs[6 : 6 + n_deep]  # VMEM
+        in_buf = refs[6 + n_deep]
+        stages = refs[7 + n_deep : 13 + n_deep]
+        ll2_buf = refs[13 + n_deep]
+        in_sem, out_sem = refs[14 + n_deep], refs[15 + n_deep]
+
+        def in_dma(i):
+            _, s, L, o = geom(i)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(s, L), :],
+                in_buf.at[i % 2, pl.ds(o, L), :],
+                in_sem.at[i % 2],
+            )
+
+        def out_dma(i, q):
+            rows, _, total = STAGE[q]
+            k = min(total - i * rows, rows)
+            return pltpu.make_async_copy(
+                stages[q].at[i % 2, pl.ds(0, k), :],
+                strip_outs[q].at[pl.ds(i * rows, k), :],
+                out_sem.at[i % 2, q],
+            )
+
+        in_dma(0).start()
+        for i in range(ny):
+            if i + 1 < ny:
+                in_dma(i + 1).start()
+            in_dma(i).wait()
+            t = in_buf[i % 2]
+            want_lo = i * ty - TOP2
+            if i == 0:
+                t = _mirror_head_sub(t, TOP2, HALO2)
+            if i * ty + ty + HALO2 > h:
+                er = (h - 1) - want_lo
+                assert er + HALO2 <= tyw - 1, (i, er, tyw)
+                t = _mirror_tail_sub(t, er, HALO2)
+            ll, hl1, lh1, hh1 = _analysis2d_poly(
+                t, wavelet, row_edges=(True, True)
+            )
+            c = TOP2 // 2
+            if want_lo + tyw > h:
+                er_ll = h // 2 - 1 - want_lo // 2
+                assert er_ll + HALO2 // 2 <= tyw // 2 - 1, (i, er_ll)
+                ll = _mirror_tail_sub(ll, er_ll, HALO2 // 2)
+            ll2, hl2, lh2, hh2 = _analysis2d_poly(
+                ll, wavelet, row_edges=(True, True)
+            )
+            c2 = c // 2
+            if i >= 2:
+                for q in range(6):
+                    out_dma(i - 2, q).wait()
+            quads = (hl2[c2 : c2 + qy], lh2[c2 : c2 + qy],
+                     hh2[c2 : c2 + qy],
+                     hl1[c : c + hy], lh1[c : c + hy], hh1[c : c + hy])
+            for q in range(6):
+                stages[q][i % 2, :] = quads[q]
+            for q in range(6):
+                out_dma(i, q).start()
+            # LL2 kept rows accumulate in the persistent VMEM buffer
+            kq = min(cy2 - i * qy, qy)
+            ll2_buf[pl.ds(i * qy, kq), :] = ll2[c2 : c2 + kq, :]
+        for i in (ny - 2, ny - 1):
+            for q in range(6):
+                out_dma(i, q).wait()
+
+        # ---- deep tail: remaining levels on the VMEM-resident LL2
+        # (the fused_deep_wavedec2 body)
+        cur = ll2_buf[:]
+        drefs = list(deep_outs)
+        ch_, cw_ = cy2, cx2
+        for _ in range(deep_levels):
+            src = cur[:ch_, :cw_] if (ch_, cw_) != cur.shape else cur
+            ext = _mirror_ext2(src, HALO)
+            ext = _lift_interleaved(ext, wavelet, axis=1, inverse=False)
+            ext = _lift_interleaved(ext, wavelet, axis=0, inverse=False)
+            ext = _scale_interleaved(ext, wavelet, inverse=False)
+            che, cwe = ch_ + ch_ % 2, cw_ + cw_ % 2
+            v = ext[HALO : HALO + che, HALO : HALO + cwe]
+            a, b = _deint_sub(v)
+            llT, hlT = _deint_sub(a.T)
+            lhT, hhT = _deint_sub(b.T)
+            cy_, cx_ = -(-ch_ // 2), -(-cw_ // 2)
+            fy_, fx_ = ch_ // 2, cw_ // 2
+            drefs.pop(0)[:] = hlT.T[:cy_, :fx_]
+            drefs.pop(0)[:] = lhT.T[:fy_, :cx_]
+            drefs.pop(0)[:] = hhT.T[:fy_, :fx_]
+            cur = llT.T[:cy_, :cx_]
+            ch_, cw_ = cy_, cx_
+        drefs.pop(0)[:] = cur
+
+    sd4 = jax.ShapeDtypeStruct((h // 4, w // 4), x.dtype)
+    sd2 = jax.ShapeDtypeStruct((h // 2, w // 2), x.dtype)
+    deep_sd = []
+    for (hs, ls, hhs) in deep_shapes:
+        deep_sd += [jax.ShapeDtypeStruct(hs, x.dtype),
+                    jax.ShapeDtypeStruct(ls, x.dtype),
+                    jax.ShapeDtypeStruct(hhs, x.dtype)]
+    ch, cw = cy2, cx2
+    for _ in range(deep_levels):
+        ch, cw = -(-ch // 2), -(-cw // 2)
+    deep_sd.append(jax.ShapeDtypeStruct((ch, cw), x.dtype))
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 6
+                        + [vspec] * n_deep),
+        out_shape=tuple([sd4] * 3 + [sd2] * 3 + deep_sd),
+        scratch_shapes=[pltpu.VMEM((2, tyw, w), x.dtype)]
+        + [pltpu.VMEM((2, qy, qx), x.dtype)] * 3
+        + [pltpu.VMEM((2, hy, hx), x.dtype)] * 3
+        + [pltpu.VMEM((cy2, cx2), x.dtype),
+           pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2, 6))],
+        interpret=interpret,
+        compiler_params=None if interpret else _params(),
+    )(x)
+    hl2, lh2, hh2, hl1, lh1, hh1 = outs[:6]
+    deep = outs[6:]
+    coeffs = [deep[-1]]
+    for lvl in range(deep_levels - 1, -1, -1):
+        coeffs.append(tuple(deep[3 * lvl : 3 * lvl + 3]))
+    coeffs.append((hl2, lh2, hh2))
+    coeffs.append((hl1, lh1, hh1))
+    return coeffs

@@ -172,3 +172,36 @@ def test_streamed_fuzz_2lvl(h, w, ty):
                                 wavelet="cdf97", strip_rows=ty,
                                 interpret=True)
     assert float(jnp.abs(rec - x).max()) < 1e-5
+
+
+# ------------------------------------------------ whole-pyramid single launch
+
+from libdwt_tpu.ops.streamed import streamed_deep_ok, streamed_wavedec2_deep
+
+
+@pytest.mark.parametrize("h,w,J,ty", [(256, 320, 4, 64), (512, 384, 5, 128),
+                                      (260, 256, 3, 64)])
+def test_streamed_deep_pyramid(h, w, J, ty):
+    x = _rand(h, w, seed=h + J)
+    assert streamed_deep_ok((h, w), 4, "cdf97", J, ty)
+    got = streamed_wavedec2_deep(x, "cdf97", J, strip_rows=ty, interpret=True)
+    want = sep_wavedec2(x, "cdf97", J)
+    assert _maxdiff(got, want) < 5e-5
+    rec = streamed_waverec2(got, "cdf97", strip_rows=ty, interpret=True)
+    assert float(jnp.abs(rec - x).max()) < 5e-5
+
+
+def test_streamed_deep_int_bit_exact():
+    xi = _rand(256, 320, np.int32)
+    got = streamed_wavedec2_deep(xi, "cdf53", 4, strip_rows=64, interpret=True)
+    want = sep_wavedec2(xi, "cdf53", 4)
+    assert _maxdiff(got, want) == 0
+
+
+def test_streamed_wavedec2_uses_deep():
+    # the pyramid driver must produce identical structure either way
+    x = _rand(256, 320, seed=9)
+    via_driver = streamed_wavedec2(x, "cdf97", 4, strip_rows=64,
+                                   interpret=True)
+    want = sep_wavedec2(x, "cdf97", 4)
+    assert _maxdiff(via_driver, want) < 5e-5
