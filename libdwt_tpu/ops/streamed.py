@@ -46,6 +46,7 @@ from libdwt_tpu.ops.fused import (
     _analysis2d_poly,
     _check_fused_supported,
     _deint_sub,
+    _pad_ch_static,
     _lift_interleaved,
     _mirror_ext2,
     _mirror_head_sub,
@@ -60,6 +61,7 @@ __all__ = [
     "streamed_supported",
     "streamed_deep_ok",
     "streamed_wavedec2_deep",
+    "streamed_waverec2_deep",
     "streamed_dwt2_level",
     "streamed_dwt2_2level",
     "streamed_idwt2_level",
@@ -598,6 +600,16 @@ def streamed_waverec2(coeffs, wavelet="cdf97", strip_rows: int = 0,
     the fused/XLA tail for small or odd-geometry levels."""
     from libdwt_tpu.ops.fused import fused_waverec2
 
+    if len(coeffs) >= 4 and coeffs[0].ndim == 2:
+        # whole reconstruction in one launch when the geometry allows
+        # (raises at trace time otherwise — fall through to the level
+        # loop)
+        try:
+            return streamed_waverec2_deep(
+                coeffs, wavelet, strip_rows=strip_rows, interpret=interpret
+            )
+        except ValueError:
+            pass
     ll = coeffs[0]
     rest = list(coeffs[1:])
     # coarse levels (small) run on the fused/XLA path until the
@@ -829,3 +841,188 @@ def streamed_wavedec2_deep(
     coeffs.append((hl2, lh2, hh2))
     coeffs.append((hl1, lh1, hh1))
     return coeffs
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "wavelet", "strip_rows", "interpret"))
+def streamed_waverec2_deep(
+    coeffs,
+    wavelet="cdf97",
+    strip_rows: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """The ENTIRE multi-level reconstruction in ONE kernel launch
+    (inverse of :func:`streamed_wavedec2_deep`): the deep tail
+    reconstructs LL2 in VMEM (the fused_deep_waverec2 body), the
+    level-2+1 strips then stream out double-buffered — the LL2 band
+    never touches HBM and the frame is written once."""
+    wavelet = get_wavelet(wavelet)
+    _check_fused_supported(wavelet)
+    levels = len(coeffs) - 1
+    if levels < 3:
+        raise ValueError("use streamed_idwt2_2level for 2 levels")
+    hl1, lh1, hh1 = coeffs[-1]
+    hl2, lh2, hh2 = coeffs[-2]
+    h = hl1.shape[-2] + lh1.shape[-2]
+    w = hl1.shape[-1] + lh1.shape[-1]
+    if h % 4 or w % 4:
+        raise ValueError("needs h, w divisible by 4")
+    cy1, cx1 = h // 2, w // 2
+    cy2, cx2 = h // 4, w // 4
+    if (hl2.shape != (cy2, cx2) or hh2.shape != (cy2, cx2)
+            or hl1.shape != (cy1, cx1)):
+        raise ValueError("streamed deep inverse needs even quadrant levels")
+    if (cy2 + 8) * (cx2 + 8) * hl1.dtype.itemsize > _DEEP_VMEM_LIMIT:
+        raise ValueError("LL2 too large to hold the deep tail in VMEM")
+    # deep reconstruction shapes, coarse first, ending at LL2's size
+    deep_shapes = []
+    sizes = [(cy2, cx2)]
+    ch, cw = cy2, cx2
+    for _ in range(levels - 2 - 1):
+        ch, cw = -(-ch // 2), -(-cw // 2)
+        sizes.append((ch, cw))
+    deep_shapes = sizes[::-1]  # reconstruct smallest -> LL2
+    deep_bands = coeffs[1 : levels - 1]  # coarse-level triples
+    for (b, shp) in zip(deep_bands[::-1], []):
+        pass
+
+    ty = pick_strip(h, strip_rows or 256)
+    ny = -(-h // ty)
+    hy, qy = ty // 2, ty // 4
+    tyw_h = hy + 2 * TOP
+    tyw_q = qy + 2 * TOP
+    if ny < 2 or ny > MAX_STRIPS:
+        raise ValueError("geometry outside the streamed kernel's range")
+    remh = cy1 - (ny - 1) * hy
+    if 0 < remh < CFIX:
+        tyw_h += 8
+
+    n_deep_in = 1 + 3 * (levels - 2)
+    buf_rows = ny * qy + 2 * TOP  # grid-aligned LL2 buffer (+ halos)
+
+    # band metadata for the streamed strips (ll2 comes from VMEM)
+    META = [(cy2, qy, tyw_q, True), (cy2, qy, tyw_q, False),
+            (cy2, qy, tyw_q, False),
+            (cy1, hy, tyw_h, True), (cy1, hy, tyw_h, False),
+            (cy1, hy, tyw_h, False)]
+
+    def geom(i, q):
+        total, stride, _, _ = META[q]
+        want_lo = i * stride - TOP
+        s = max(want_lo, 0)
+        e = min(i * stride + stride + TOP, total)
+        return want_lo, s, e - s, s - want_lo
+
+    def kernel(*refs):
+        deep_ins = refs[:n_deep_in]              # VMEM (LL_J + triples)
+        strip_ins = refs[n_deep_in : n_deep_in + 6]  # ANY
+        out_h = refs[n_deep_in + 6]
+        ll2p = refs[n_deep_in + 7]
+        bufs = refs[n_deep_in + 8 : n_deep_in + 14]
+        ostage = refs[n_deep_in + 14]
+        in_sem, out_sem = refs[n_deep_in + 15], refs[n_deep_in + 16]
+
+        # ---- deep tail: LL_J + coarse triples -> LL2, all in VMEM
+        cur = deep_ins[0][:]
+        k = 1
+        for (th, tw) in deep_shapes:
+            hl = deep_ins[k][:]
+            lh = deep_ins[k + 1][:]
+            hh = deep_ins[k + 2][:]
+            k += 3
+            llp = _pad_ch_static(_pad_ch_static(cur, th, True, 0), tw, True, 1)
+            hlp = _pad_ch_static(_pad_ch_static(hl, th, True, 0), tw, False, 1)
+            lhp = _pad_ch_static(_pad_ch_static(lh, th, False, 0), tw, True, 1)
+            hhp = _pad_ch_static(_pad_ch_static(hh, th, False, 0), tw, False, 1)
+            t = _synthesis2d_poly(llp, hlp, lhp, hhp, wavelet)
+            cur = t[2 * CMIR : 2 * CMIR + th, 2 * CMIR : 2 * CMIR + tw]
+
+        # ---- stage LL2 into the halo-padded strip buffer: top halo via
+        # the whole-point channel mirror (s[-m] = s[m]), bottom via the
+        # repeat mirror (s[N+m] = s[N-1-m]); one fill for ALL strips.
+        pad_bot = buf_rows - TOP - cy2
+        v = jnp.concatenate(
+            [jnp.zeros((TOP, cx2), cur.dtype), cur,
+             jnp.zeros((pad_bot, cx2), cur.dtype)], axis=0)
+        v = _mirror_head_sub(v, TOP, CFIX)
+        v = _mirror_tail_sub_repeat(v, TOP + cy2 - 1, CFIX)
+        ll2p[:] = v
+
+        def in_dma(i, q):
+            _, s, L, o = geom(i, q)
+            return pltpu.make_async_copy(
+                strip_ins[q].at[pl.ds(s, L), :],
+                bufs[q].at[i % 2, pl.ds(o, L), :],
+                in_sem.at[i % 2, q],
+            )
+
+        def out_dma(i):
+            kk = min(h - i * ty, ty)
+            return pltpu.make_async_copy(
+                ostage.at[i % 2, pl.ds(0, kk), :],
+                out_h.at[pl.ds(i * ty, kk), :],
+                out_sem.at[i % 2],
+            )
+
+        def fix(t, i, q):
+            total, stride, tyw, is_low = META[q]
+            want_lo = i * stride - TOP
+            if i == 0:
+                t = (_mirror_head_sub(t, TOP, CFIX) if is_low
+                     else _mirror_head_sub_repeat(t, TOP, CFIX))
+            if i * stride + stride + CFIX > total:
+                er = (total - 1) - want_lo
+                assert er + CFIX <= tyw - 1, (i, q, er, tyw)
+                t = (_mirror_tail_sub_repeat(t, er, CFIX) if is_low
+                     else _mirror_tail_sub(t, er, CFIX))
+            return t
+
+        for q in range(6):
+            in_dma(0, q).start()
+        for i in range(ny):
+            if i + 1 < ny:
+                for q in range(6):
+                    in_dma(i + 1, q).start()
+            for q in range(6):
+                in_dma(i, q).wait()
+            ll2w = ll2p[pl.ds(i * qy, tyw_q), :]
+            x2 = fix(bufs[0][i % 2], i, 0)
+            y2 = fix(bufs[1][i % 2], i, 1)
+            z2 = fix(bufs[2][i % 2], i, 2)
+            t2 = _synthesis2d_poly(ll2w, x2, y2, z2, wavelet,
+                                   row_edges=(True, True))
+            ll1 = t2[TOP : TOP + tyw_h, :]
+            if i * hy + hy + CFIX > cy1:
+                er1 = (cy1 - 1) - (i * hy - TOP)
+                assert er1 + CFIX <= tyw_h - 1, (i, er1, tyw_h)
+                ll1 = _mirror_tail_sub_repeat(ll1, er1, CFIX)
+            b1 = [fix(bufs[q][i % 2], i, q) for q in range(3, 6)]
+            t1 = _synthesis2d_poly(ll1, *b1, wavelet, row_edges=(True, True))
+            if i >= 2:
+                out_dma(i - 2).wait()
+            ostage[i % 2, :] = t1[2 * TOP : 2 * TOP + ty, :]
+            out_dma(i).start()
+        for i in (ny - 2, ny - 1):
+            out_dma(i).wait()
+
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec(memory_space=pl.ANY)
+    deep_arrs = [coeffs[0]]
+    for triple in deep_bands:
+        deep_arrs += list(triple)
+    out_sd = jax.ShapeDtypeStruct((h, w), hl1.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[vspec] * n_deep_in + [aspec] * 6,
+        out_specs=aspec,
+        out_shape=out_sd,
+        scratch_shapes=[pltpu.VMEM((buf_rows, cx2), hl1.dtype)]
+        + [pltpu.VMEM((2, tyw_q, cx2), hl1.dtype)] * 3
+        + [pltpu.VMEM((2, tyw_h, cx1), hl1.dtype)] * 3
+        + [pltpu.VMEM((2, ty, w), hl1.dtype),
+           pltpu.SemaphoreType.DMA((2, 6)),
+           pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+        compiler_params=None if interpret else _params(),
+    )(*deep_arrs, hl2, lh2, hh2, hl1, lh1, hh1)
