@@ -53,21 +53,35 @@ def _to_jnp(a):
     return jnp.asarray(a), (lambda x: x)
 
 
+def _channels_last(x) -> bool:
+    """Heuristic shared by transform/resize_pot: a trailing axis of
+    1-4 on a 3-D array whose leading axis is image-sized is a channel
+    axis (cv::Mat convention, /root/reference/src/cvdwt.cpp:303)."""
+    return x.ndim == 3 and x.shape[-1] in (1, 2, 3, 4) and x.shape[0] > 4
+
+
 def resize_pot(img, interp: str = "linear"):
-    """Pad-free resize of the last two axes up to powers of two
-    (dwt::resizePOT, /root/reference/src/cvdwt.cpp:15-44)."""
+    """Resize the spatial axes up to powers of two
+    (dwt::resizePOT, /root/reference/src/cvdwt.cpp:15-44).  Channels-last
+    (H, W, C) arrays keep their channel axis untouched."""
     x, wrap = _to_jnp(img)
+    chan_last = _channels_last(x)
+    if chan_last:
+        x = jnp.moveaxis(x, -1, 0)
     h, w = x.shape[-2], x.shape[-1]
     ph = 1 << (h - 1).bit_length()
     pw = 1 << (w - 1).bit_length()
-    if (ph, pw) == (h, w):
-        return wrap(x)
-    import jax
+    if (ph, pw) != (h, w):
+        import jax
 
-    # bilinear resize via jax.image
-    out = jax.image.resize(x, x.shape[:-2] + (ph, pw),
-                           method="linear" if interp == "linear" else "nearest")
-    return wrap(out)
+        # bilinear resize via jax.image
+        x = jax.image.resize(
+            x, x.shape[:-2] + (ph, pw),
+            method="linear" if interp == "linear" else "nearest",
+        )
+    if chan_last:
+        x = jnp.moveaxis(x, 0, -1)
+    return wrap(x)
 
 
 def transform(img, flags: int = DWT_FORWARD, wavelet: str = DWT_CDF97,
@@ -76,7 +90,7 @@ def transform(img, flags: int = DWT_FORWARD, wavelet: str = DWT_CDF97,
     multi-channel arrays (..., H, W) or (H, W, C) channels-last are
     split, transformed per channel with the packed layout, and merged."""
     x, wrap = _to_jnp(img)
-    chan_last = x.ndim == 3 and x.shape[-1] in (1, 2, 3, 4) and x.shape[0] > 4
+    chan_last = _channels_last(x)
     if chan_last:
         x = jnp.moveaxis(x, -1, 0)
     fn = fdwt2 if flags & DWT_FORWARD else idwt2

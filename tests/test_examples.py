@@ -34,6 +34,10 @@ _CASES = {
     "displ_vectors.py": ["--count", "8", "--levels", "3", "--keep", "40"],
     "nsls_demo.py": ["--size", "64"],
     "wavelet_func2d.py": ["--size", "64"],
+    "cdf97_test.py": ["--size", "64", "--levels", "2"],
+    "interop_flags.py": ["--size", "48", "--levels", "2"],
+    "eaw_demo.py": ["--size", "64", "--levels", "2"],
+    "spectra_tf.py": ["--size", "128", "--bins", "16"],
 }
 
 
