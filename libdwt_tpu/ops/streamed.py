@@ -85,13 +85,55 @@ _VMEM_LIMIT = 96 * 1024 * 1024
 
 def pick_strip(h: int, preferred: int = 256) -> int:
     """Strip rows: the preferred size, shrunk so the image still splits
-    into >= 2 strips (the double-buffer needs a pipeline), 32-aligned."""
+    into >= 2 strips (the double-buffer needs a pipeline), 32-aligned.
+    The caller's preference is rounded down to the alignment too — the
+    2-level kernels' quarter-row accounting needs ty % 4 == 0."""
+    preferred = max(64, (preferred // 32) * 32)
     ty = min(preferred, ((h // 2) // 32) * 32)
     return max(64, ty)
 
 
 def _params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _require(cond: bool, msg: str) -> None:
+    """Trace-time geometry invariant.  A plain ``assert`` would both
+    vanish under ``python -O`` (silently emitting clamped mirror rows)
+    and escape the ``except ValueError`` fallbacks in the pyramid
+    drivers; every kernel geometry check goes through here instead."""
+    if not cond:
+        raise ValueError(f"streamed kernel geometry: {msg}")
+
+
+def _strip_geom(i: int, total: int, stride: int, top: int = TOP):
+    """(want_lo, src_start, length, buf_offset) of strip ``i``'s DMA
+    window over a band of ``total`` rows walked ``stride`` rows per
+    strip with a ``top``-row halo above and below."""
+    want_lo = i * stride - top
+    s = max(want_lo, 0)
+    e = min(i * stride + stride + top, total)
+    return want_lo, s, e - s, s - want_lo
+
+
+def _fix_strip(t, i: int, meta):
+    """Channel-domain border mirrors for inverse strip ``i`` of a band
+    described by ``meta = (total, stride, tyw, is_low)`` — the virt2real
+    rules of /root/reference/src/dwt-sym.c:434-534 applied in the
+    channel domain: row-low bands ('s') mirror whole-point at the head
+    and repeat at the tail, row-high bands ('d') the reverse."""
+    total, stride, tyw, is_low = meta
+    want_lo = i * stride - TOP
+    if i == 0:
+        t = (_mirror_head_sub(t, TOP, CFIX) if is_low
+             else _mirror_head_sub_repeat(t, TOP, CFIX))
+    if i * stride + stride + CFIX > total:
+        er = (total - 1) - want_lo
+        _require(er + CFIX <= tyw - 1,
+                 f"strip {i}: tail mirror past buffer (er={er}, tyw={tyw})")
+        t = (_mirror_tail_sub_repeat(t, er, CFIX) if is_low
+             else _mirror_tail_sub(t, er, CFIX))
+    return t
 
 
 def streamed_supported(shape, wavelet, strip_rows: int, levels: int = 1) -> bool:
@@ -141,19 +183,13 @@ def streamed_dwt2_level(
         raise ValueError("geometry outside the streamed kernel's range")
     hy = ty // 2
 
-    def geom(i):
-        want_lo = i * ty - TOP
-        s = max(want_lo, 0)
-        e = min(i * ty + ty + TOP, h)
-        return want_lo, s, e - s, s - want_lo
-
     def kernel(x_hbm, ll_h, hl_h, lh_h, hh_h,
                in_buf, sll, shl, slh, shh, in_sem, out_sem):
         outs = (ll_h, hl_h, lh_h, hh_h)
         stages = (sll, shl, slh, shh)
 
         def in_dma(i):
-            _, s, L, o = geom(i)
+            _, s, L, o = _strip_geom(i, h, ty)
             return pltpu.make_async_copy(
                 x_hbm.at[pl.ds(s, L), :],
                 in_buf.at[i % 2, pl.ds(o, L), :],
@@ -179,7 +215,9 @@ def streamed_dwt2_level(
                 t = _mirror_head_sub(t, TOP, HALO)
             if i * ty + ty + HALO > h:
                 er = (h - 1) - want_lo
-                assert er + HALO <= tyw - 1, (i, er, tyw)
+                _require(er + HALO <= tyw - 1,
+                         f"strip {i}: tail mirror past buffer "
+                         f"(er={er}, tyw={tyw})")
                 t = _mirror_tail_sub(t, er, HALO)
             ll, hl, lh, hh = _analysis2d_poly(t, wavelet, row_edges=(True, True))
             c = TOP // 2
@@ -237,12 +275,6 @@ def streamed_dwt2_2level(
     hy, qy = ty // 2, ty // 4
     hx, qx = w // 2, w // 4
 
-    def geom(i):
-        want_lo = i * ty - TOP2
-        s = max(want_lo, 0)
-        e = min(i * ty + ty + TOP2, h)
-        return want_lo, s, e - s, s - want_lo
-
     STAGE = [(qy, qx, h // 4)] * 4 + [(hy, hx, h // 2)] * 3
 
     def kernel(x_hbm, *refs):
@@ -252,7 +284,7 @@ def streamed_dwt2_2level(
         in_sem, out_sem = refs[15], refs[16]
 
         def in_dma(i):
-            _, s, L, o = geom(i)
+            _, s, L, o = _strip_geom(i, h, ty, TOP2)
             return pltpu.make_async_copy(
                 x_hbm.at[pl.ds(s, L), :],
                 in_buf.at[i % 2, pl.ds(o, L), :],
@@ -279,7 +311,9 @@ def streamed_dwt2_2level(
                 t = _mirror_head_sub(t, TOP2, HALO2)
             if i * ty + ty + HALO2 > h:
                 er = (h - 1) - want_lo
-                assert er + HALO2 <= tyw - 1, (i, er, tyw)
+                _require(er + HALO2 <= tyw - 1,
+                         f"strip {i}: tail mirror past buffer "
+                         f"(er={er}, tyw={tyw})")
                 t = _mirror_tail_sub(t, er, HALO2)
             ll, hl1, lh1, hh1 = _analysis2d_poly(
                 t, wavelet, row_edges=(True, True)
@@ -290,7 +324,9 @@ def streamed_dwt2_2level(
             # ops/fused._2lvl_kernel's er_ll fix)
             if want_lo + tyw > h:
                 er_ll = h // 2 - 1 - want_lo // 2
-                assert er_ll + HALO2 // 2 <= tyw // 2 - 1, (i, er_ll)
+                _require(er_ll + HALO2 // 2 <= tyw // 2 - 1,
+                         f"strip {i}: LL tail mirror past buffer "
+                         f"(er_ll={er_ll})")
                 ll = _mirror_tail_sub(ll, er_ll, HALO2 // 2)
             ll2, hl2, lh2, hh2 = _analysis2d_poly(
                 ll, wavelet, row_edges=(True, True)
@@ -348,8 +384,12 @@ def streamed_idwt2_level(
     _check_fused_supported(wavelet)
     cy, cx = ll.shape
     h, w = 2 * cy, 2 * cx
-    if hh.shape != (cy, cx):
-        raise ValueError("streamed inverse needs even dims; use the oracle")
+    for name, band in (("hl", hl), ("lh", lh), ("hh", hh)):
+        if band.shape != (cy, cx):
+            raise ValueError(
+                f"streamed inverse needs equal band shapes (even dims): "
+                f"ll={ll.shape} vs {name}={band.shape}; use the oracle"
+            )
     ty = pick_strip(h, strip_rows or 256)
     ny = -(-h // ty)
     hy = ty // 2
@@ -357,19 +397,13 @@ def streamed_idwt2_level(
     if cy <= tyw or ny < 2 or ny > MAX_STRIPS:
         raise ValueError("geometry outside the streamed kernel's range")
 
-    def geom(i):
-        want_lo = i * hy - TOP
-        s = max(want_lo, 0)
-        e = min(i * hy + hy + TOP, cy)
-        return want_lo, s, e - s, s - want_lo
-
     def kernel(ll_h, hl_h, lh_h, hh_h, out_h,
                bll, bhl, blh, bhh, ostage, in_sem, out_sem):
         bands_h = (ll_h, hl_h, lh_h, hh_h)
         bufs = (bll, bhl, blh, bhh)
 
         def in_dma(i, q):
-            _, s, L, o = geom(i)
+            _, s, L, o = _strip_geom(i, cy, hy)
             return pltpu.make_async_copy(
                 bands_h[q].at[pl.ds(s, L), :],
                 bufs[q].at[i % 2, pl.ds(o, L), :],
@@ -402,7 +436,9 @@ def streamed_idwt2_level(
                          else _mirror_head_sub_repeat(t, TOP, CMIR))
                 if i * hy + hy + CMIR > cy:
                     er = (cy - 1) - want_lo
-                    assert er + CMIR <= tyw - 1, (i, er, tyw)
+                    _require(er + CMIR <= tyw - 1,
+                             f"strip {i}: tail mirror past buffer "
+                             f"(er={er}, tyw={tyw})")
                     t = (_mirror_tail_sub_repeat(t, er, CMIR) if is_low
                          else _mirror_tail_sub(t, er, CMIR))
                 fixed.append(t)
@@ -464,13 +500,6 @@ def streamed_idwt2_2level(
             (cy1, hy, tyw_h, True), (cy1, hy, tyw_h, False),
             (cy1, hy, tyw_h, False)]
 
-    def geom(i, q):
-        total, stride, _, _ = META[q]
-        want_lo = i * stride - TOP
-        s = max(want_lo, 0)
-        e = min(i * stride + stride + TOP, total)
-        return want_lo, s, e - s, s - want_lo
-
     def kernel(*refs):
         bands_h = refs[:7]
         out_h = refs[7]
@@ -478,7 +507,7 @@ def streamed_idwt2_2level(
         ostage, in_sem, out_sem = refs[15], refs[16], refs[17]
 
         def in_dma(i, q):
-            _, s, L, o = geom(i, q)
+            _, s, L, o = _strip_geom(i, META[q][0], META[q][1])
             return pltpu.make_async_copy(
                 bands_h[q].at[pl.ds(s, L), :],
                 bufs[q].at[i % 2, pl.ds(o, L), :],
@@ -493,19 +522,6 @@ def streamed_idwt2_2level(
                 out_sem.at[i % 2],
             )
 
-        def fix(t, i, q):
-            total, stride, tyw, is_low = META[q]
-            want_lo = i * stride - TOP
-            if i == 0:
-                t = (_mirror_head_sub(t, TOP, CFIX) if is_low
-                     else _mirror_head_sub_repeat(t, TOP, CFIX))
-            if i * stride + stride + CFIX > total:
-                er = (total - 1) - want_lo
-                assert er + CFIX <= tyw - 1, (i, q, er, tyw)
-                t = (_mirror_tail_sub_repeat(t, er, CFIX) if is_low
-                     else _mirror_tail_sub(t, er, CFIX))
-            return t
-
         for q in range(7):
             in_dma(0, q).start()
         for i in range(ny):
@@ -514,7 +530,9 @@ def streamed_idwt2_2level(
                     in_dma(i + 1, q).start()
             for q in range(7):
                 in_dma(i, q).wait()
-            l2, x2, y2, z2 = (fix(bufs[q][i % 2], i, q) for q in range(4))
+            l2, x2, y2, z2 = (
+                _fix_strip(bufs[q][i % 2], i, META[q]) for q in range(4)
+            )
             t2 = _synthesis2d_poly(l2, x2, y2, z2, wavelet,
                                    row_edges=(True, True))
             # LL1 rows [i*hy - TOP, ...) start at t2 row TOP: t2's row
@@ -525,9 +543,11 @@ def streamed_idwt2_2level(
             # follow the level-1 channel repeat mirror s[N+m] = s[N-1-m]
             if i * hy + hy + CFIX > cy1:
                 er1 = (cy1 - 1) - (i * hy - TOP)
-                assert er1 + CFIX <= tyw_h - 1, (i, er1, tyw_h)
+                _require(er1 + CFIX <= tyw_h - 1,
+                         f"strip {i}: LL1 tail mirror past buffer "
+                         f"(er1={er1}, tyw_h={tyw_h})")
                 ll1 = _mirror_tail_sub_repeat(ll1, er1, CFIX)
-            b1 = [fix(bufs[q][i % 2], i, q) for q in range(4, 7)]
+            b1 = [_fix_strip(bufs[q][i % 2], i, META[q]) for q in range(4, 7)]
             t1 = _synthesis2d_poly(ll1, *b1, wavelet, row_edges=(True, True))
             if i >= 2:
                 out_dma(i - 2).wait()
@@ -706,12 +726,6 @@ def streamed_wavedec2_deep(
         ch, cw = cy_, cx_
     n_deep = 3 * deep_levels + 1
 
-    def geom(i):
-        want_lo = i * ty - TOP2
-        s = max(want_lo, 0)
-        e = min(i * ty + ty + TOP2, h)
-        return want_lo, s, e - s, s - want_lo
-
     STAGE = [(qy, qx, h // 4)] * 3 + [(hy, hx, h // 2)] * 3
 
     def kernel(x_hbm, *refs):
@@ -723,7 +737,7 @@ def streamed_wavedec2_deep(
         in_sem, out_sem = refs[14 + n_deep], refs[15 + n_deep]
 
         def in_dma(i):
-            _, s, L, o = geom(i)
+            _, s, L, o = _strip_geom(i, h, ty, TOP2)
             return pltpu.make_async_copy(
                 x_hbm.at[pl.ds(s, L), :],
                 in_buf.at[i % 2, pl.ds(o, L), :],
@@ -750,7 +764,9 @@ def streamed_wavedec2_deep(
                 t = _mirror_head_sub(t, TOP2, HALO2)
             if i * ty + ty + HALO2 > h:
                 er = (h - 1) - want_lo
-                assert er + HALO2 <= tyw - 1, (i, er, tyw)
+                _require(er + HALO2 <= tyw - 1,
+                         f"strip {i}: tail mirror past buffer "
+                         f"(er={er}, tyw={tyw})")
                 t = _mirror_tail_sub(t, er, HALO2)
             ll, hl1, lh1, hh1 = _analysis2d_poly(
                 t, wavelet, row_edges=(True, True)
@@ -758,7 +774,9 @@ def streamed_wavedec2_deep(
             c = TOP2 // 2
             if want_lo + tyw > h:
                 er_ll = h // 2 - 1 - want_lo // 2
-                assert er_ll + HALO2 // 2 <= tyw // 2 - 1, (i, er_ll)
+                _require(er_ll + HALO2 // 2 <= tyw // 2 - 1,
+                         f"strip {i}: LL tail mirror past buffer "
+                         f"(er_ll={er_ll})")
                 ll = _mirror_tail_sub(ll, er_ll, HALO2 // 2)
             ll2, hl2, lh2, hh2 = _analysis2d_poly(
                 ll, wavelet, row_edges=(True, True)
@@ -787,8 +805,10 @@ def streamed_wavedec2_deep(
         drefs = list(deep_outs)
         ch_, cw_ = cy2, cx2
         for _ in range(deep_levels):
-            src = cur[:ch_, :cw_] if (ch_, cw_) != cur.shape else cur
-            ext = _mirror_ext2(src, HALO)
+            # cur's shape is exactly (ch_, cw_) every iteration: it
+            # starts as the (cy2, cx2) buffer and each pass ends with
+            # the [:cy_, :cx_] slice that becomes the next (ch_, cw_)
+            ext = _mirror_ext2(cur, HALO)
             ext = _lift_interleaved(ext, wavelet, axis=1, inverse=False)
             ext = _lift_interleaved(ext, wavelet, axis=0, inverse=False)
             ext = _scale_interleaved(ext, wavelet, inverse=False)
@@ -869,13 +889,19 @@ def streamed_waverec2_deep(
         raise ValueError("needs h, w divisible by 4")
     cy1, cx1 = h // 2, w // 2
     cy2, cx2 = h // 4, w // 4
-    if (hl2.shape != (cy2, cx2) or hh2.shape != (cy2, cx2)
-            or hl1.shape != (cy1, cx1)):
-        raise ValueError("streamed deep inverse needs even quadrant levels")
+    for name, band, shp in (
+        ("hl2", hl2, (cy2, cx2)), ("lh2", lh2, (cy2, cx2)),
+        ("hh2", hh2, (cy2, cx2)), ("hl1", hl1, (cy1, cx1)),
+        ("lh1", lh1, (cy1, cx1)), ("hh1", hh1, (cy1, cx1)),
+    ):
+        if band.shape != shp:
+            raise ValueError(
+                f"streamed deep inverse: band {name} has shape "
+                f"{band.shape}, expected {shp}"
+            )
     if (cy2 + 8) * (cx2 + 8) * hl1.dtype.itemsize > _DEEP_VMEM_LIMIT:
         raise ValueError("LL2 too large to hold the deep tail in VMEM")
     # deep reconstruction shapes, coarse first, ending at LL2's size
-    deep_shapes = []
     sizes = [(cy2, cx2)]
     ch, cw = cy2, cx2
     for _ in range(levels - 2 - 1):
@@ -883,8 +909,23 @@ def streamed_waverec2_deep(
         sizes.append((ch, cw))
     deep_shapes = sizes[::-1]  # reconstruct smallest -> LL2
     deep_bands = coeffs[1 : levels - 1]  # coarse-level triples
-    for (b, shp) in zip(deep_bands[::-1], []):
-        pass
+    # validate the coarse pytree before any of it is DMA'd: the wavedec2
+    # ceil/floor halving geometry, coarse first
+    ll_shape = (-(-ch // 2), -(-cw // 2))
+    if coeffs[0].shape != ll_shape:
+        raise ValueError(
+            f"streamed deep inverse: LL has shape {coeffs[0].shape}, "
+            f"expected {ll_shape}"
+        )
+    for triple, (th, tw) in zip(deep_bands, deep_shapes):
+        want = ((-(-th // 2), tw // 2), (th // 2, -(-tw // 2)),
+                (th // 2, tw // 2))
+        got = tuple(b.shape for b in triple)
+        if got != want:
+            raise ValueError(
+                f"streamed deep inverse: coarse triple shapes {got} do "
+                f"not match the {th}x{tw} level ({want})"
+            )
 
     ty = pick_strip(h, strip_rows or 256)
     ny = -(-h // ty)
@@ -893,25 +934,26 @@ def streamed_waverec2_deep(
     tyw_q = qy + 2 * TOP
     if ny < 2 or ny > MAX_STRIPS:
         raise ValueError("geometry outside the streamed kernel's range")
+    # +8 tail margins when a short last strip pushes the penultimate
+    # strip's channel mirror past the buffer (same rule as
+    # streamed_idwt2_2level)
     remh = cy1 - (ny - 1) * hy
     if 0 < remh < CFIX:
         tyw_h += 8
+    remq = cy2 - (ny - 1) * qy
+    bump_q = 8 if 0 < remq < CFIX else 0
+    tyw_q += bump_q
 
     n_deep_in = 1 + 3 * (levels - 2)
-    buf_rows = ny * qy + 2 * TOP  # grid-aligned LL2 buffer (+ halos)
+    # grid-aligned LL2 buffer (+ halos); the q bump grows the last
+    # strip's window past ny*qy + 2*TOP
+    buf_rows = ny * qy + 2 * TOP + bump_q
 
     # band metadata for the streamed strips (ll2 comes from VMEM)
     META = [(cy2, qy, tyw_q, True), (cy2, qy, tyw_q, False),
             (cy2, qy, tyw_q, False),
             (cy1, hy, tyw_h, True), (cy1, hy, tyw_h, False),
             (cy1, hy, tyw_h, False)]
-
-    def geom(i, q):
-        total, stride, _, _ = META[q]
-        want_lo = i * stride - TOP
-        s = max(want_lo, 0)
-        e = min(i * stride + stride + TOP, total)
-        return want_lo, s, e - s, s - want_lo
 
     def kernel(*refs):
         deep_ins = refs[:n_deep_in]              # VMEM (LL_J + triples)
@@ -949,7 +991,7 @@ def streamed_waverec2_deep(
         ll2p[:] = v
 
         def in_dma(i, q):
-            _, s, L, o = geom(i, q)
+            _, s, L, o = _strip_geom(i, META[q][0], META[q][1])
             return pltpu.make_async_copy(
                 strip_ins[q].at[pl.ds(s, L), :],
                 bufs[q].at[i % 2, pl.ds(o, L), :],
@@ -964,19 +1006,6 @@ def streamed_waverec2_deep(
                 out_sem.at[i % 2],
             )
 
-        def fix(t, i, q):
-            total, stride, tyw, is_low = META[q]
-            want_lo = i * stride - TOP
-            if i == 0:
-                t = (_mirror_head_sub(t, TOP, CFIX) if is_low
-                     else _mirror_head_sub_repeat(t, TOP, CFIX))
-            if i * stride + stride + CFIX > total:
-                er = (total - 1) - want_lo
-                assert er + CFIX <= tyw - 1, (i, q, er, tyw)
-                t = (_mirror_tail_sub_repeat(t, er, CFIX) if is_low
-                     else _mirror_tail_sub(t, er, CFIX))
-            return t
-
         for q in range(6):
             in_dma(0, q).start()
         for i in range(ny):
@@ -986,17 +1015,19 @@ def streamed_waverec2_deep(
             for q in range(6):
                 in_dma(i, q).wait()
             ll2w = ll2p[pl.ds(i * qy, tyw_q), :]
-            x2 = fix(bufs[0][i % 2], i, 0)
-            y2 = fix(bufs[1][i % 2], i, 1)
-            z2 = fix(bufs[2][i % 2], i, 2)
+            x2 = _fix_strip(bufs[0][i % 2], i, META[0])
+            y2 = _fix_strip(bufs[1][i % 2], i, META[1])
+            z2 = _fix_strip(bufs[2][i % 2], i, META[2])
             t2 = _synthesis2d_poly(ll2w, x2, y2, z2, wavelet,
                                    row_edges=(True, True))
             ll1 = t2[TOP : TOP + tyw_h, :]
             if i * hy + hy + CFIX > cy1:
                 er1 = (cy1 - 1) - (i * hy - TOP)
-                assert er1 + CFIX <= tyw_h - 1, (i, er1, tyw_h)
+                _require(er1 + CFIX <= tyw_h - 1,
+                         f"strip {i}: LL1 tail mirror past buffer "
+                         f"(er1={er1}, tyw_h={tyw_h})")
                 ll1 = _mirror_tail_sub_repeat(ll1, er1, CFIX)
-            b1 = [fix(bufs[q][i % 2], i, q) for q in range(3, 6)]
+            b1 = [_fix_strip(bufs[q][i % 2], i, META[q]) for q in range(3, 6)]
             t1 = _synthesis2d_poly(ll1, *b1, wavelet, row_edges=(True, True))
             if i >= 2:
                 out_dma(i - 2).wait()

@@ -227,3 +227,51 @@ def test_streamed_deep_inverse_int():
     ci = sep_wavedec2(xi, "cdf53", 4)
     ri = streamed_waverec2_deep(ci, "cdf53", strip_rows=64, interpret=True)
     assert int(jnp.abs(ri - xi).max()) == 0
+
+
+# ------------------------------------------------ review-regression cases
+
+
+def test_deep_inverse_short_quarter_tail():
+    # 1036 rows, J=3: remq = ceil(1036/256)*64 - 259 = 3 rows in the last
+    # quarter-strip, inside the CFIX margin — needs the tyw_q tail bump
+    # (regression: AssertionError at trace time before the fix)
+    x = _rand(1036, 128, seed=11)
+    c = sep_wavedec2(x, "cdf97", 3)
+    rec = streamed_waverec2(c, "cdf97", interpret=True)
+    assert float(jnp.abs(rec - x).max()) < 5e-5
+
+
+def test_pick_strip_aligns_preferred():
+    # a 66-row preference must not leak through unaligned (ty % 4 == 0
+    # is load-bearing for the 2-level quarter-row accounting)
+    from libdwt_tpu.ops.streamed import pick_strip
+
+    assert pick_strip(1000, 66) == 64
+    assert pick_strip(1000, 250) == 224
+    x = _rand(1000, 128, seed=12)
+    ll2, b2, b1 = streamed_dwt2_2level(x, "cdf97", strip_rows=66,
+                                       interpret=True)
+    want_ll, *_ = dwt2_level(x, "cdf97")
+    got_ll, *_ = dwt2_level(want_ll, "cdf97")
+    assert float(jnp.abs(ll2 - got_ll).max()) < 5e-5
+
+
+def test_deep_inverse_rejects_bad_pytree():
+    # mismatched coarse triples must raise ValueError (not crash in DMA)
+    x = _rand(256, 320, seed=13)
+    c = sep_wavedec2(x, "cdf97", 4)
+    bad = [c[0], tuple(jnp.zeros((7, 9), jnp.float32) for _ in range(3))] \
+        + list(c[2:])
+    with pytest.raises(ValueError):
+        streamed_waverec2_deep(bad, "cdf97", interpret=True)
+    # the pyramid driver falls through to the level loop instead
+    rec = streamed_waverec2(c, "cdf97", interpret=True)
+    assert float(jnp.abs(rec - x).max()) < 5e-5
+
+
+def test_single_level_inverse_rejects_mismatched_bands():
+    ll = jnp.zeros((128, 64), jnp.float32)
+    bad = jnp.zeros((96, 64), jnp.float32)
+    with pytest.raises(ValueError):
+        streamed_idwt2_level(ll, bad, ll, ll, interpret=True)
