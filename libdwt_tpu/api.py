@@ -260,13 +260,16 @@ def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None,
 def _pick_impl3(shape3, wavelet, impl, dtype=None,
                 direction: str = "fwd") -> str:
     """3-D strategy: 'separable' | 'fused' | 'streamed'."""
+    import jax.numpy as jnp
+
     impl = impl or _default_impl
     if impl == "separable":
         return impl
     if impl == "streamed":
         from libdwt_tpu.ops.streamed3d import streamed3d_supported
 
-        if not streamed3d_supported(shape3, wavelet):
+        itemsize = jnp.dtype(dtype).itemsize if dtype is not None else 4
+        if not streamed3d_supported(shape3, wavelet, itemsize=itemsize):
             raise ValueError(
                 "streamed 3-D impl needs even dims, 2..32 (z, y) tiles "
                 "and a symmetric-step wavelet"
@@ -291,7 +294,9 @@ def _pick_impl3(shape3, wavelet, impl, dtype=None,
         if choice == "streamed":
             from libdwt_tpu.ops.streamed3d import streamed3d_supported
 
-            if not streamed3d_supported(shape3, wavelet):
+            if not streamed3d_supported(
+                shape3, wavelet, itemsize=jnp.dtype(dtype).itemsize
+            ):
                 choice = "fused"
         if choice is not None:
             return choice

@@ -26,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from libdwt_tpu.models.wavelets import get_wavelet
 from libdwt_tpu.ops.fused import _check_fused_supported, _lift_interleaved
+from libdwt_tpu.ops.streamed import _params, _require, _strip_geom
 from libdwt_tpu.ops.fused3d import (
     _BANDS,
     CZ,
@@ -62,21 +63,21 @@ CYH = 8   # == CY
 #: unrolled-tile budget (compile time grows linearly past it).
 MAX_TILES = 32
 
-_VMEM_LIMIT = 96 * 1024 * 1024
 
-
-def _params():
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
-
-
-def streamed3d_supported(shape3, wavelet, strip_z=0, strip_y=0) -> bool:
+def streamed3d_supported(shape3, wavelet, strip_z=0, strip_y=0,
+                         itemsize: int = 4) -> bool:
+    """Pass the real dtype itemsize: the tile picker sizes windows by
+    bytes, so the gate and the kernel disagree for 8-byte dtypes
+    otherwise."""
     from libdwt_tpu.ops.fused import fused_supported
 
     z, y, x = shape3
     if z % 2 or y % 2 or x % 2 or not fused_supported(wavelet):
         return False
+    if min(z, y, x) <= HZ:  # head mirror must read DMA'd rows only
+        return False
     try:
-        tz, ty = _tiles3(z, y, x, 4, strip_z, strip_y)
+        tz, ty = _tiles3(z, y, x, itemsize, strip_z, strip_y)
     except ValueError:
         return False
     nz, nyy = -(-z // tz), -(-y // ty)
@@ -88,19 +89,14 @@ def _tiles3(z, y, x, itemsize, strip_z, strip_y):
     tz = strip_z or tz_auto
     ty = strip_y or ty_auto
     tz += tz % 2
-    tz = min(tz, z + z % 2)
+    # tz >= HZ (== 2*CZ): only tile 0 may clamp its DMA start — a
+    # smaller stride would clamp later tiles' starts without giving
+    # them the head mirror (same rule as fused3d's tile pickers)
+    tz = max(HZ, min(tz, z + z % 2))
     if ty % 16:
         raise ValueError("strip_y must be a multiple of 16")
     ty = min(ty, ((y + 15) // 16) * 16)
     return tz, ty
-
-
-def _axis_geom(i, stride, top, total):
-    """Per-tile static DMA geometry along one axis."""
-    want_lo = i * stride - top
-    s = max(want_lo, 0)
-    e = min(i * stride + stride + top, total)
-    return want_lo, s, e - s, s - want_lo
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -120,6 +116,9 @@ def streamed_dwt3_level(
     z, y, w = x.shape
     if z % 2 or y % 2 or w % 2:
         raise ValueError("streamed 3-D kernel needs even dims")
+    if min(z, y, w) <= HZ:
+        raise ValueError("volume too small for the streamed kernel; "
+                         "use the oracle")
     tz, ty = _tiles3(z, y, w, x.dtype.itemsize, strip_z, strip_y)
     nz, nyy = -(-z // tz), -(-y // ty)
     if not (2 <= nz * nyy <= MAX_TILES):
@@ -140,8 +139,8 @@ def streamed_dwt3_level(
 
         def in_dma(t_idx):
             iz, iy = tiles[t_idx]
-            _, sz, Lz, oz = _axis_geom(iz, tz, TZH, z)
-            _, sy, Ly, oy = _axis_geom(iy, ty, TYH, y)
+            _, sz, Lz, oz = _strip_geom(iz, z, tz, TZH)
+            _, sy, Ly, oy = _strip_geom(iy, y, ty, TYH)
             return pltpu.make_async_copy(
                 x_hbm.at[pl.ds(sz, Lz), pl.ds(sy, Ly), :],
                 in_buf.at[t_idx % 2, pl.ds(oz, Lz), pl.ds(oy, Ly), :],
@@ -170,13 +169,17 @@ def streamed_dwt3_level(
                 t = _mirror_head_ax(t, TZH, HZ, 0, repeat=False)
             if iz * tz + tz + HZ > z:
                 er = (z - 1) - (iz * tz - TZH)
-                assert er + HZ <= tzw - 1, (iz, er, tzw)
+                _require(er + HZ <= tzw - 1,
+                         f"tile z={iz}: tail mirror past buffer "
+                         f"(er={er}, tzw={tzw})")
                 t = _mirror_tail_ax(t, er, HZ, 0, repeat=False)
             if iy == 0:
                 t = _mirror_head_ax(t, TYH, HZ, 1, repeat=False)
             if iy * ty + ty + HZ > y:
                 er = (y - 1) - (iy * ty - TYH)
-                assert er + HZ <= tyw - 1, (iy, er, tyw)
+                _require(er + HZ <= tyw - 1,
+                         f"tile y={iy}: tail mirror past buffer "
+                         f"(er={er}, tyw={tyw})")
                 t = _mirror_tail_ax(t, er, HZ, 1, repeat=False)
             # axis order x, y, z — volume-dwt.c's dwt3_level convention
             if jnp.issubdtype(t.dtype, jnp.integer) or approach == "interleaved":
@@ -246,7 +249,13 @@ def streamed_idwt3_level(
     z, y, w = 2 * cz, 2 * cy, 2 * cx
     for name in _BANDS:
         if bands[name].shape != (cz, cy, cx):
-            raise ValueError("streamed 3-D inverse needs equal band shapes")
+            raise ValueError(
+                f"streamed 3-D inverse needs equal band shapes: LLL="
+                f"{(cz, cy, cx)} vs {name}={bands[name].shape}"
+            )
+    if min(cz, cy, cx) <= CZ:
+        raise ValueError("volume too small for the streamed inverse; "
+                         "use the oracle")
     tz, ty = _tiles3(z, y, w, lll.dtype.itemsize, strip_z, strip_y)
     nz, nyy = -(-z // tz), -(-y // ty)
     if not (2 <= nz * nyy <= MAX_TILES):
@@ -254,8 +263,11 @@ def streamed_idwt3_level(
     qz, qy = tz // 2, ty // 2
     remqz = cz - (nz - 1) * qz
     remqy = cy - (nyy - 1) * qy
-    tzw = qz + 2 * CZH + (2 if 0 < remqz < CZ else 0)
-    tyw = qy + 2 * CYH + (8 if 0 < remqy < CZ else 0)
+    # a short last tile makes the PENULTIMATE tile's tail mirror (CZ
+    # channel rows past the band edge) overrun when rem + CZ exceeds
+    # the halo; bump the buffer by the axis alignment in that case
+    tzw = qz + 2 * CZH + (2 if 0 < remqz < CZ and remqz + CZ > CZH else 0)
+    tyw = qy + 2 * CYH + (8 if 0 < remqy < CZ and remqy + CZ > CYH else 0)
     tiles = [(iz, iy) for iz in range(nz) for iy in range(nyy)]
 
     def kernel(*refs):
@@ -266,8 +278,8 @@ def streamed_idwt3_level(
 
         def in_dma(t_idx, q):
             iz, iy = tiles[t_idx]
-            _, sz, Lz, oz = _axis_geom(iz, qz, CZH, cz)
-            _, sy, Ly, oy = _axis_geom(iy, qy, CYH, cy)
+            _, sz, Lz, oz = _strip_geom(iz, cz, qz, CZH)
+            _, sy, Ly, oy = _strip_geom(iy, cy, qy, CYH)
             return pltpu.make_async_copy(
                 bands_h[q].at[pl.ds(sz, Lz), pl.ds(sy, Ly), :],
                 bufs[q].at[t_idx % 2, pl.ds(oz, Lz), pl.ds(oy, Ly), :],
@@ -296,7 +308,9 @@ def streamed_idwt3_level(
                     t = _mirror_head_ax(t, top, CZ, axis, repeat=not is_low)
                 if i * stride + stride + CZ > total:
                     er = (total - 1) - (i * stride - top)
-                    assert er + CZ <= tw - 1, (name, axis, i, er, tw)
+                    _require(er + CZ <= tw - 1,
+                             f"band {name} axis {axis} tile {i}: tail "
+                             f"mirror past buffer (er={er}, tw={tw})")
                     t = _mirror_tail_ax(t, er, CZ, axis, repeat=is_low)
             return t
 
