@@ -67,8 +67,6 @@ HALO = 4
 #: hy % 8 == 0.
 CH = 4
 
-#: soft cap on VMEM working set per program (bytes); real budget ~16MB.
-_VMEM_BUDGET = 10 * 1024 * 1024
 #: Mosaic scoped-VMEM ceiling for the strip kernels.  Mosaic's default
 #: limit is 16MB but v5e has 128MB of physical VMEM; the polyphase
 #: kernels' transpose sandwiches keep several strip-sized live copies,
@@ -235,15 +233,9 @@ def _deint_sub(v):
     return w[:, 0, :], w[:, 1, :]
 
 
-def _int_sub(a, b):
-    """Interleave along sublanes: c[2i]=a[i], c[2i+1]=b[i]."""
-    even = _parity_mask((2 * a.shape[0], a.shape[1]), 0, False)
-    return jnp.where(even, jnp.repeat(a, 2, axis=0), jnp.repeat(b, 2, axis=0))
-
-
 def _merge_sub(a, b):
     """Interleave along sublanes via the (n,2,c)->(2n,c) sublane
-    reshape — one shaped copy instead of _int_sub's repeat+select."""
+    reshape — one shaped copy, no repeat+select."""
     n, c = a.shape
     return jnp.concatenate(
         [a.reshape(n, 1, c), b.reshape(n, 1, c)], axis=1
@@ -539,6 +531,11 @@ def fused_dwt2_level(
         h, w = x.shape
     if min(h, w) <= HALO:
         raise ValueError("image too small for the fused kernel; use the oracle")
+    if strip_rows and strip_rows % 16:
+        # same contract as the 2-level kernels: reject rather than
+        # silently rounding (a tuner probing 96 and 100 would otherwise
+        # measure the same kernel twice)
+        raise ValueError("strip_rows must be a multiple of 16")
 
     if boundary_rows == "mirror" and h % 2 == 0 and w % 2 == 0:
         # fast path: pad-free windows straight from the unpadded image
@@ -784,11 +781,18 @@ def fused_dwt2_2level(
     if strip_rows:
         ty = strip_rows
     else:
-        # cap the auto strip so one input window stays <= ~8 MB (the
-        # kernel keeps several window-sized live copies; very wide
-        # frames would otherwise overrun even the raised VMEM ceiling)
-        cap = (8 * 1024 * 1024 // ((w + 2 * HALOR) * x.dtype.itemsize)) // 32 * 32
-        ty = max(64, min(416, cap))
+        # cap the auto strip so one input window — (ty + 2*HALOR) rows
+        # by w columns — stays <= ~8 MB (the kernel keeps several
+        # window-sized live copies; very wide frames would otherwise
+        # overrun even the raised VMEM ceiling)
+        cap = (8 * 1024 * 1024 // (w * x.dtype.itemsize) - 2 * HALOR) \
+            // 32 * 32
+        if cap < 32:
+            raise ValueError(
+                "frame too wide for the 2-level fused kernel's VMEM "
+                "window; use single-level or separable"
+            )
+        ty = min(416, cap)
     # alignment: ty % 32 == 0 makes window starts (i*ty - 16) and all
     # out blocks (ty/2, ty/4) provably 8-aligned.
     if ty % 32:
@@ -875,6 +879,8 @@ def fused_wavedec2(x, wavelet="cdf97", level: int = 1, interpret: bool = False):
             and w % 4 == 0
             and min(h, w) >= min_fused
             and ll.ndim == 2
+            and fused_supported(wavelet)
+            and (32 + 2 * HALOR) * w * ll.dtype.itemsize <= 8 * 1024 * 1024
         ):
             ll, b2, b1 = fused_dwt2_2level(ll, wavelet, interpret=interpret)
             coeffs.append(b1)
@@ -970,6 +976,8 @@ def fused_idwt2_level(
     h, w = cy + fy, cx + fx
     if min(h, w) < 2 * (CH + 1):  # channel mirror needs CH+1 samples
         raise ValueError("image too small for the fused kernel; use the oracle")
+    if strip_rows and strip_rows % 16:
+        raise ValueError("strip_rows must be a multiple of 16")
     wc = _even(w)
     he = _even(h)
     ty = strip_rows or _pick_strip_rows(wc, ll.dtype.itemsize, inverse=True)
@@ -1054,36 +1062,8 @@ CHR = 8
 CFIX = 6
 
 
-def _chan_fix_sub(c, is_low: bool, pid, n_strips: int, er: int, stride: int):
-    """Channel-domain mirror fill of a band window's row halo for the
-    edge strips (interior strips carry real neighbour rows).
-
-    Rules (global length even; /root/reference whole-point borders with
-    s[i]=x[2i], d[i]=x[2i+1]):
-      top:    s[-m] = s[m]        d[-m] = d[m-1]
-      bottom: s[N+m] = s[N-1-m]   d[N+m] = d[N-2-m]
-    ``er`` is the window row of the last valid channel sample in the
-    LAST strip's window; ``stride`` the per-strip channel advance (for
-    the penultimate strip, whose window also crosses the array end when
-    the last strip is short).  Also roll-normalizes the first strip's
-    clamped window start.
-    """
-    rolled = jnp.roll(c, CHR, axis=0)
-    head = (
-        _mirror_head_sub(rolled, CHR, CFIX)
-        if is_low
-        else _mirror_head_sub_repeat(rolled, CHR, CFIX)
-    )
-    c = jnp.where(pid == 0, head, c)
-    tail_fn = _mirror_tail_sub_repeat if is_low else _mirror_tail_sub
-    c = jnp.where(pid == n_strips - 1, tail_fn(c, er, CFIX), c)
-    if n_strips >= 2 and er < 2 * CHR:
-        c = jnp.where(pid == n_strips - 2, tail_fn(c, er + stride, CFIX), c)
-    return c
-
-
 def _chan_fix_ref(ref, src_ref, is_low, pid, n_strips, er, stride):
-    """Scratch-ref variant of :func:`_chan_fix_sub`: copies the band
+    """Channel-domain mirror fill via scratch refs: copies the band
     window and applies the roll-normalization + mirror fills ONLY on
     the strips that need them (pl.when) — interior strips pay one VMEM
     copy instead of building and discarding every fill."""
@@ -1121,7 +1101,7 @@ def _inv2_kernel(ll2_ref, hl2_ref, lh2_ref, hh2_ref,
     Band windows are read straight from the UNPADDED coefficient
     arrays (row-channel halo CHR, full-width lanes); volume-edge halos
     are mirror-filled in VMEM for the first/last strips only
-    (:func:`_chan_fix_sub`), and column borders use the in-step mirror
+    (:func:`_chan_fix_ref`), and column borders use the in-step mirror
     of :func:`_neighbors` — no host padding pass at all.
     """
     pid = pl.program_id(0)
@@ -1275,6 +1255,19 @@ def fused_waverec2(coeffs, wavelet="cdf97", interpret: bool = False):
     # VMEM-resident launch (the inverse twin of fused_deep_wavedec2) —
     # these levels are latency-bound, not bandwidth-bound.
     if ll.ndim == 2 and fused_supported(wavelet):
+        # the deep tail's channel mirrors need CH+1 samples per axis
+        # (_pad_ch_static slices up to row CH); reconstruct smaller
+        # coarsest levels with the oracle first
+        while rest and min(ll.shape[-2], ll.shape[-1]) <= CH:
+            hl, lh, hh = rest[0]
+            h0 = ll.shape[-2] + lh.shape[-2]
+            w0 = ll.shape[-1] + hl.shape[-1]
+            if (hl.shape[-2:] != (ll.shape[-2], w0 // 2)
+                    or lh.shape[-2:] != (h0 // 2, ll.shape[-1])
+                    or hh.shape[-2:] != (h0 // 2, w0 // 2)):
+                break
+            ll = idwt2_level(ll, hl, lh, hh, wavelet)
+            rest = rest[1:]
         deep = 0
         ch, cw = ll.shape[-2], ll.shape[-1]
         for (hl, lh, hh) in rest:
@@ -1342,7 +1335,9 @@ def _deep_kernel(x_ref, *out_refs, wavelet, levels, h, w):
     refs = list(out_refs)
     ch, cw = h, w
     for _ in range(levels):
-        ext = _mirror_ext2(cur[:ch, :cw] if (ch, cw) != cur.shape else cur, HALO)
+        # cur's shape is exactly (ch, cw) every iteration (it starts as
+        # the full image and each pass ends with the [:cy, :cx] slice)
+        ext = _mirror_ext2(cur, HALO)
         ext = _lift_interleaved(ext, wavelet, axis=1, inverse=False)
         ext = _lift_interleaved(ext, wavelet, axis=0, inverse=False)
         ext = _scale_interleaved(ext, wavelet, inverse=False)
@@ -1481,6 +1476,13 @@ def fused_deep_waverec2(coeffs, wavelet="cdf97", interpret: bool = False):
     ll = coeffs[0]
     if ll.ndim != 2:
         raise ValueError("fused_deep_waverec2 takes one 2-D pyramid")
+    if len(coeffs) > 1 and min(ll.shape) <= CH:
+        # _pad_ch_static's channel mirror slices up to row CH; a smaller
+        # coarsest LL silently builds short/shifted extensions
+        raise ValueError(
+            f"coarsest LL {ll.shape} too small for the deep inverse's "
+            f"channel mirrors (needs > {CH} samples per axis)"
+        )
     shapes = []
     ch, cw = ll.shape
     for (hl, lh, hh) in coeffs[1:]:

@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from libdwt_tpu.models.wavelets import get_wavelet
 from libdwt_tpu.ops.fused import (
     CFIX,
+    CH,
     HALO,
     HALO2,
     _DEEP_VMEM_LIMIT,
@@ -916,6 +917,12 @@ def streamed_waverec2_deep(
         raise ValueError(
             f"streamed deep inverse: LL has shape {coeffs[0].shape}, "
             f"expected {ll_shape}"
+        )
+    if min(ll_shape) <= CH:
+        # _pad_ch_static's channel mirror slices up to row CH
+        raise ValueError(
+            f"coarsest LL {ll_shape} too small for the deep tail's "
+            f"channel mirrors (needs > {CH} samples per axis)"
         )
     for triple, (th, tw) in zip(deep_bands, deep_shapes):
         want = ((-(-th // 2), tw // 2), (th // 2, -(-tw // 2)),

@@ -188,3 +188,54 @@ def test_deep_inverse_roundtrip_with_forward_kernel():
     rec = fused_deep_waverec2(c, "cdf97", interpret=True)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4,
                                rtol=0)
+
+
+# ------------------------------------------------ review-regression cases
+
+from libdwt_tpu.ops.fused import fused_waverec2
+from libdwt_tpu.ops.separable import wavedec2 as sep_wavedec2
+
+
+def test_full_depth_roundtrip_through_fused():
+    # J=6 on 256x256 leaves a 4x4 coarsest LL, below the deep tail's
+    # channel-mirror minimum; the driver must reconstruct those levels
+    # with the oracle (regression: silent 2.8e-2 corruption)
+    import numpy as np
+
+    x = jnp.asarray(np.random.RandomState(0).rand(256, 256).astype(np.float32))
+    for j in (6, 8):  # 4x4 and 1x1 coarsest
+        pyr = sep_wavedec2(x, "cdf97", j)
+        rec = fused_waverec2(pyr, "cdf97", interpret=True)
+        assert float(jnp.abs(rec - x).max()) < 5e-5, j
+
+
+def test_deep_inverse_rejects_small_coarsest():
+    import numpy as np
+
+    x = jnp.asarray(np.random.RandomState(1).rand(256, 256).astype(np.float32))
+    from libdwt_tpu.ops.fused import fused_deep_waverec2
+
+    with pytest.raises(ValueError):
+        fused_deep_waverec2(sep_wavedec2(x, "cdf97", 6), "cdf97",
+                            interpret=True)
+
+
+def test_wavedec2_2level_branch_asymmetric_wavelet_falls_back():
+    import numpy as np
+
+    x = jnp.asarray(np.random.RandomState(2).rand(1024, 64).astype(np.float32))
+    got = fused_wavedec2(x, "d4", 2, interpret=True)
+    want = sep_wavedec2(x, "d4", 2)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        assert float(jnp.abs(a - b).max()) == 0.0
+
+
+def test_strip_rows_rejected_when_unaligned():
+    import numpy as np
+
+    x = jnp.asarray(np.random.RandomState(3).rand(128, 64).astype(np.float32))
+    from libdwt_tpu.ops.fused import fused_dwt2_level, fused_idwt2_level
+
+    with pytest.raises(ValueError):
+        fused_dwt2_level(x, "cdf97", strip_rows=100, interpret=True)
