@@ -52,12 +52,36 @@ def make_mesh_2d(n_data: int, n_space: int, devices=None) -> Mesh:
     """A ('data', 'space') mesh: batch-parallel x spatial row sharding."""
     if devices is None:
         devices = jax.devices()
-    devices = list(devices)[: n_data * n_space]
+    devices = list(devices)
+    if len(devices) < n_data * n_space:
+        raise ValueError(
+            f"make_mesh_2d({n_data}, {n_space}) needs {n_data * n_space} "
+            f"devices, have {len(devices)}"
+        )
+    devices = devices[: n_data * n_space]
     import numpy as np
 
     return Mesh(
         np.array(devices).reshape(n_data, n_space), axis_names=("data", "space")
     )
+
+
+def _check_mirror_safe(wavelet):
+    """The edge shards fill their halo with the PHYSICAL whole-point
+    mirror; that reproduces lift_fwd/lift_inv's per-step neighbour
+    clamping only when every lifting step is symmetric (left weight ==
+    right weight) or the clamped neighbour carries zero weight (haar's
+    one-sided steps).  d4's asymmetric steps break the equivalence, so
+    reject rather than silently differ from the unsharded oracle at the
+    global borders."""
+    from libdwt_tpu.ops.fused import fused_supported
+
+    if not (fused_supported(wavelet) or wavelet.name == "haar"):
+        raise ValueError(
+            f"sharded transforms need symmetric lifting steps (or haar); "
+            f"'{wavelet.name}' would differ from the unsharded result at "
+            f"the global borders"
+        )
 
 
 # ------------------------------------------------------------- halo helpers
@@ -119,15 +143,6 @@ def _exchange_channels_inv(
     return s_ext, d_ext
 
 
-def _col_fwd(x: jax.Array, wavelet, axis_name: str):
-    """Column-pass lifting on a row-sharded block (local part)."""
-    ext = _exchange_rows_fwd(x, axis_name)
-    lo, hi = lift_fwd(ext, wavelet, axis=-2)
-    off = HALO // 2
-    keep = x.shape[-2] // 2
-    return lo[..., off : off + keep, :], hi[..., off : off + keep, :]
-
-
 def _col_inv(lo: jax.Array, hi: jax.Array, wavelet, axis_name: str):
     """Inverse column-pass lifting on row-sharded channel blocks."""
     lo_ext, hi_ext = _exchange_channels_inv(lo, hi, axis_name)
@@ -140,9 +155,19 @@ def _col_inv(lo: jax.Array, hi: jax.Array, wavelet, axis_name: str):
 
 
 def _level_fwd_local(ll, wavelet, axis_name):
-    l, h = lift_fwd(ll, wavelet, axis=-1)  # row pass: fully local
-    ll2, lh = _col_fwd(l, wavelet, axis_name)
-    hl, hh = _col_fwd(h, wavelet, axis_name)
+    # ONE signal-row halo exchange per level (2 ppermutes, not 4): the
+    # row pass is rowwise, so the halo rows' row transforms are computed
+    # locally and feed the column pass directly
+    ext = _exchange_rows_fwd(ll, axis_name)
+    l, h = lift_fwd(ext, wavelet, axis=-1)
+    off, keep = HALO // 2, ll.shape[-2] // 2
+
+    def col(a):
+        lo, hi = lift_fwd(a, wavelet, axis=-2)
+        return (lo[..., off : off + keep, :], hi[..., off : off + keep, :])
+
+    ll2, lh = col(l)
+    hl, hh = col(h)
     return ll2, hl, lh, hh
 
 
@@ -160,9 +185,16 @@ def _level_fwd_local_fused(ll, wavelet, axis_name, interpret):
 
 
 def _level_inv_local(ll, hl, lh, hh, wavelet, axis_name):
-    l = _col_inv(ll, lh, wavelet, axis_name)
-    h = _col_inv(hl, hh, wavelet, axis_name)
-    return lift_inv(l, h, wavelet, axis=-1)
+    # stack the two band pairs along the (local) width so the channel
+    # halo exchange is ONE collective pair instead of two
+    w = ll.shape[-1]
+    s = jnp.concatenate([ll, hl], axis=-1)
+    d = jnp.concatenate([lh, hh], axis=-1)
+    s_ext, d_ext = _exchange_channels_inv(s, d, axis_name)
+    x = lift_inv(s_ext, d_ext, wavelet, axis=-2)
+    keep = 2 * ll.shape[-2]
+    x = x[..., 2 * CH : 2 * CH + keep, :]
+    return lift_inv(x[..., :w], x[..., w:], wavelet, axis=-1)
 
 
 def _level_inv_local_fused(ll, hl, lh, hh, wavelet, axis_name, interpret):
@@ -172,27 +204,33 @@ def _level_inv_local_fused(ll, hl, lh, hh, wavelet, axis_name, interpret):
     keeping both inverse passes in one VMEM residency per shard."""
     from libdwt_tpu.ops.fused import CH as FCH, fused_idwt2_level
 
-    ll_e, lh_e = _exchange_channels_inv(ll, lh, axis_name, ch=FCH)
-    hl_e, hh_e = _exchange_channels_inv(hl, hh, axis_name, ch=FCH)
+    w = ll.shape[-1]
+    s = jnp.concatenate([ll, hl], axis=-1)
+    d = jnp.concatenate([lh, hh], axis=-1)
+    s_ext, d_ext = _exchange_channels_inv(s, d, axis_name, ch=FCH)
     return fused_idwt2_level(
-        ll_e, hl_e, lh_e, hh_e, wavelet,
-        interpret=interpret, boundary_rows="extended",
+        s_ext[..., :w], s_ext[..., w:], d_ext[..., :w], d_ext[..., w:],
+        wavelet, interpret=interpret, boundary_rows="extended",
     )
 
 
 # ------------------------------------------------------------- public entry
 
 
-def _check_sharded_sizes(h: int, n_space: int, level: int):
+def _check_sharded_sizes(h: int, n_space: int, level: int,
+                         use_fused: bool = False):
     if h % (n_space * (1 << level)) != 0:
         raise ValueError(
             f"sharded transform needs H ({h}) divisible by "
             f"n_space*2^level ({n_space}*{1 << level})"
         )
-    if h // (n_space * (1 << level)) < HALO:
+    # the fused inverse's channel mirror slices FCH+1 = 5 local rows
+    # (ops/fused.CH = 4); the jnp path needs HALO = 4
+    min_rows = 5 if use_fused else HALO
+    if h // (n_space * (1 << level)) < min_rows:
         raise ValueError(
             f"local rows at the deepest level "
-            f"({h // (n_space * (1 << level))}) must be >= HALO ({HALO}); "
+            f"({h // (n_space * (1 << level))}) must be >= {min_rows}; "
             f"reduce level or n_space"
         )
 
@@ -220,8 +258,14 @@ def sharded_wavedec2(
     the halo exchange; needs 2-D local blocks with even row counts.
     """
     wavelet = get_wavelet(wavelet)
+    _check_mirror_safe(wavelet)
     n_space = mesh.shape[space_axis]
-    _check_sharded_sizes(x.shape[-2], n_space, level)
+    _check_sharded_sizes(x.shape[-2], n_space, level, use_fused)
+    if use_fused and x.ndim != 2:
+        raise ValueError(
+            "use_fused needs a 2-D input (batched arrays run the jnp "
+            "path; drop use_fused or vmap outside the mesh)"
+        )
 
     nbatch = x.ndim - 2
     batch_spec = (data_axis,) + (None,) * (nbatch - 1) if nbatch else ()
@@ -266,8 +310,25 @@ def sharded_waverec2(
     needs 2-D local blocks with even channel row counts.
     """
     wavelet = get_wavelet(wavelet)
+    _check_mirror_safe(wavelet)
     level = len(coeffs) - 1
     ll = coeffs[0]
+    if use_fused and ll.ndim != 2:
+        raise ValueError(
+            "use_fused needs a 2-D pyramid (batched arrays run the jnp "
+            "path; drop use_fused or vmap outside the mesh)"
+        )
+    _check_sharded_sizes(ll.shape[-2] << level, mesh.shape[space_axis],
+                         level, use_fused)
+    ch = ll.shape[-2]
+    for lvl, (hl, lh, hh) in enumerate(coeffs[1:]):
+        if not (hl.shape == lh.shape == hh.shape
+                and hl.shape[-2] == ch):
+            raise ValueError(
+                f"band shapes at level {level - lvl} do not chain: "
+                f"LL rows {ch} vs {hl.shape}/{lh.shape}/{hh.shape}"
+            )
+        ch *= 2
     nbatch = ll.ndim - 2
     batch_spec = (data_axis,) + (None,) * (nbatch - 1) if nbatch else ()
     spec = P(*batch_spec, space_axis, None)
@@ -310,6 +371,7 @@ def sharded_wavedec3(
     [LLL_J, bands_J, ..., bands_1] with 7-band dicts.
     """
     wavelet = get_wavelet(wavelet)
+    _check_mirror_safe(wavelet)
     n_space = mesh.shape[space_axis]
     _check_sharded_sizes(x.shape[-3], n_space, level)
 
@@ -321,7 +383,16 @@ def sharded_wavedec3(
         coeffs = []
         low = xl
         for _ in range(level):
-            bands = {"": low}
+            # ONE z-halo exchange per level (2 ppermutes, not 2 per
+            # band): the x/y passes are per-z-slice, so the halo
+            # slices' transforms are computed locally and feed the
+            # z pass directly
+            keep_z = low.shape[-3] // 2
+            ext = jnp.moveaxis(
+                _exchange_rows_fwd(jnp.moveaxis(low, -3, -2), space_axis),
+                -2, -3,
+            )
+            bands = {"": ext}
             for axis in (-1, -2):  # x then y: local lifting
                 new = {}
                 for name, arr in bands.items():
@@ -329,13 +400,13 @@ def sharded_wavedec3(
                     new["L" + name] = lo
                     new["H" + name] = hi
                 bands = new
-            # z pass with halo exchange: move z to -2 (rows)
+            # z pass: local lifting on the extended depth, then crop
+            off = HALO // 2
             new = {}
             for name, arr in bands.items():
-                arr2 = jnp.moveaxis(arr, -3, -2)
-                lo, hi = _col_fwd(arr2, wavelet, space_axis)
-                new["L" + name] = jnp.moveaxis(lo, -2, -3)
-                new["H" + name] = jnp.moveaxis(hi, -2, -3)
+                lo, hi = lift_fwd(arr, wavelet, axis=-3)
+                new["L" + name] = lo[..., off : off + keep_z, :, :]
+                new["H" + name] = hi[..., off : off + keep_z, :, :]
             bands = new
             low = bands.pop("LLL")
             coeffs.append(bands)
@@ -357,8 +428,11 @@ def sharded_waverec3(
 ):
     """Inverse of :func:`sharded_wavedec3`."""
     wavelet = get_wavelet(wavelet)
+    _check_mirror_safe(wavelet)
     level = len(coeffs) - 1
     low = coeffs[0]
+    _check_sharded_sizes(low.shape[-3] << level, mesh.shape[space_axis],
+                         level)
     nbatch = low.ndim - 3
     batch_spec = (data_axis,) + (None,) * (nbatch - 1) if nbatch else ()
     spec = P(*batch_spec, space_axis, None, None)
@@ -371,14 +445,22 @@ def sharded_waverec3(
         for bands in cs[1:]:
             full = dict(bands)
             full["LLL"] = low
-            # inverse z pass with channel halo exchange
+            # inverse z pass: stack ALL band pairs along x so the
+            # channel halo exchange is ONE collective pair (not one per
+            # band)
             names = sorted({n[1:] for n in full})
+            wloc = full["L" + names[0]].shape[-1]
+            lo_all = jnp.concatenate(
+                [jnp.moveaxis(full["L" + n], -3, -2) for n in names], axis=-1
+            )
+            hi_all = jnp.concatenate(
+                [jnp.moveaxis(full["H" + n], -3, -2) for n in names], axis=-1
+            )
+            rec = _col_inv(lo_all, hi_all, wavelet, space_axis)
             new = {}
-            for name in names:
-                lo = jnp.moveaxis(full["L" + name], -3, -2)
-                hi = jnp.moveaxis(full["H" + name], -3, -2)
-                rec = _col_inv(lo, hi, wavelet, space_axis)
-                new[name] = jnp.moveaxis(rec, -2, -3)
+            for k, name in enumerate(names):
+                part = rec[..., k * wloc : (k + 1) * wloc]
+                new[name] = jnp.moveaxis(part, -2, -3)
             full = new
             # local inverse y then x
             for axis in (-2, -1):
@@ -397,16 +479,20 @@ def sharded_waverec3(
     )(coeffs)
 
 
-def sharded_dwt2_level(x, wavelet="cdf97", *, mesh, space_axis="space", data_axis="data"):
+def sharded_dwt2_level(x, wavelet="cdf97", *, mesh, space_axis="space",
+                       data_axis="data", use_fused=False, interpret=False):
     """Single-level sharded 2-D transform -> (LL, HL, LH, HH)."""
     c = sharded_wavedec2(
-        x, wavelet, 1, mesh=mesh, space_axis=space_axis, data_axis=data_axis
+        x, wavelet, 1, mesh=mesh, space_axis=space_axis,
+        data_axis=data_axis, use_fused=use_fused, interpret=interpret,
     )
     ll, (hl, lh, hh) = c[0], c[1]
     return ll, hl, lh, hh
 
 
-def sharded_idwt2_level(ll, hl, lh, hh, wavelet="cdf97", *, mesh, space_axis="space", data_axis="data"):
+def sharded_idwt2_level(ll, hl, lh, hh, wavelet="cdf97", *, mesh,
+                        space_axis="space", data_axis="data",
+                        use_fused=False, interpret=False):
     """Inverse of :func:`sharded_dwt2_level`."""
     return sharded_waverec2(
         [ll, (hl, lh, hh)],
@@ -414,4 +500,6 @@ def sharded_idwt2_level(ll, hl, lh, hh, wavelet="cdf97", *, mesh, space_axis="sp
         mesh=mesh,
         space_axis=space_axis,
         data_axis=data_axis,
+        use_fused=use_fused,
+        interpret=interpret,
     )

@@ -205,3 +205,73 @@ def test_sharded_fused_roundtrip_both_ways():
     c = sharded_wavedec2(xf, "cdf97", level, mesh=mesh, use_fused=True, interpret=True)
     rec = sharded_waverec2(c, "cdf97", mesh=mesh, use_fused=True, interpret=True)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(xf), atol=1e-3, rtol=0)
+
+
+# ------------------------------------------------ review-regression cases
+
+
+def test_d4_rejected_at_global_borders():
+    # the physical edge mirror differs from lift_fwd's per-step
+    # neighbour clamping for asymmetric-step wavelets; sharded results
+    # would silently diverge from the oracle at global boundaries
+    mesh = make_mesh_2d(1, 4)
+    x = jnp.asarray(make_test_image(64, 32, dtype=np.float32))
+    with pytest.raises(ValueError, match="symmetric"):
+        sharded_wavedec2(x, "d4", 1, mesh=mesh)
+    with pytest.raises(ValueError, match="symmetric"):
+        sharded_waverec2(wavedec2(x, "d4", 1), "d4", mesh=mesh)
+
+
+def test_haar_sharded_matches_oracle():
+    # haar's clamped neighbours all carry zero weight, so the physical
+    # mirror is exact — it stays allowed
+    mesh = make_mesh_2d(1, 4)
+    x = jnp.asarray(make_test_image(64, 32, dtype=np.float32))
+    got = sharded_wavedec2(x, "haar", 1, mesh=mesh)
+    _tree_allclose(got, wavedec2(x, "haar", 1), atol=1e-5)
+
+
+def test_fused_inverse_minimum_rows_enforced():
+    # h=64, n_space=4, level=2 leaves 4 local channel rows at the
+    # deepest level — enough for the jnp path (HALO=4) but one short of
+    # the fused inverse's FCH+1=5; use_fused must reject up front
+    # instead of crashing inside the shard with a broadcast error
+    mesh = make_mesh_2d(1, 4)
+    x = jnp.asarray(make_test_image(64, 32, dtype=np.float32))
+    with pytest.raises(ValueError, match=">= 5"):
+        sharded_wavedec2(x, "cdf97", 2, mesh=mesh, use_fused=True)
+    coeffs = wavedec2(x, "cdf97", 2)
+    with pytest.raises(ValueError, match=">= 5"):
+        sharded_waverec2(coeffs, "cdf97", mesh=mesh, use_fused=True,
+                         interpret=True)
+    # and the fused pair works one size up
+    x2 = jnp.asarray(make_test_image(128, 32, dtype=np.float32))
+    c2 = sharded_wavedec2(x2, "cdf97", 2, mesh=mesh, use_fused=True,
+                          interpret=True)
+    _tree_allclose(c2, wavedec2(x2, "cdf97", 2), atol=1e-4)
+    r2 = sharded_waverec2(c2, "cdf97", mesh=mesh, use_fused=True,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(x2), atol=1e-4)
+
+
+def test_use_fused_batched_rejected():
+    mesh = make_mesh_2d(2, 4)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 128, 32)
+                    .astype(np.float32))
+    with pytest.raises(ValueError, match="2-D"):
+        sharded_wavedec2(x, "cdf97", 1, mesh=mesh, use_fused=True)
+
+
+def test_inverse_validates_pytree():
+    mesh = make_mesh_2d(1, 4)
+    x = jnp.asarray(make_test_image(128, 32, dtype=np.float32))
+    coeffs = wavedec2(x, "cdf97", 2)
+    bad = [coeffs[0], coeffs[1],
+           tuple(jnp.zeros((16, 16), jnp.float32) for _ in range(3))]
+    with pytest.raises(ValueError, match="chain"):
+        sharded_waverec2(bad, "cdf97", mesh=mesh)
+
+
+def test_make_mesh_2d_rejects_too_few_devices():
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh_2d(2, 8)
