@@ -191,6 +191,53 @@ def _check_fused_supported(wavelet):
             f"wavelet {wavelet.name!r} has asymmetric lifting steps; its "
             "border semantics need the separable path (impl='separable')"
         )
+    if wavelet.support > HALO:
+        # every halo/mirror constant in the fused/streamed kernels (2-D
+        # and 3-D) is sized for a 4-sample one-sided lifting support; a
+        # longer wavelet would silently corrupt tile borders
+        raise ValueError(
+            f"wavelet {wavelet.name!r} has lifting support "
+            f"{wavelet.support} > {HALO}; the fused kernels' halos are "
+            "sized for support <= 4 (use impl='separable')"
+        )
+
+
+def _slice_ax(a, start, size, axis):
+    return jax.lax.slice_in_dim(a, start, start + size, axis=axis)
+
+
+def _mirror_head_ax(a, center: int, count: int, axis: int, repeat: bool):
+    """Fill rows [center-count, center) of ``axis`` with the mirror of
+    the rows at/after ``center``: whole-point (idx center-m := center+m)
+    or repeat (:= center+m-1).  Rows below center-count are kept."""
+    # skip zero-size parts: Mosaic rejects 0-extent vectors
+    parts = (
+        [_slice_ax(a, 0, center - count, axis)] if center > count else []
+    )
+    for m in range(count, 0, -1):
+        src = center + m - 1 if repeat else center + m
+        parts.append(_slice_ax(a, src, 1, axis))
+    parts.append(_slice_ax(a, center, a.shape[axis] - center, axis))
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _mirror_tail_ax(a, edge: int, count: int, axis: int, repeat: bool):
+    """Fill rows (edge, edge+count] of ``axis`` with the mirror of the
+    rows at/before ``edge`` (whole-point: edge+m := edge-m; repeat:
+    := edge-m+1); zero anything beyond.  ``count`` clamps to the rows
+    available past ``edge``."""
+    L = a.shape[axis]
+    count = max(0, min(count, L - 1 - edge))
+    parts = [_slice_ax(a, 0, edge + 1, axis)]
+    for m in range(1, count + 1):
+        src = edge - m + 1 if repeat else edge - m
+        parts.append(_slice_ax(a, src, 1, axis))
+    used = edge + 1 + count
+    if used < L:
+        shape = list(a.shape)
+        shape[axis] = L - used
+        parts.append(jnp.zeros(shape, a.dtype))
+    return jnp.concatenate(parts, axis=axis)
 
 
 # ----------------------------------------------------------- size helpers
@@ -634,18 +681,8 @@ HALO2 = 12
 
 def _mirror_tail_sub(a, edge: int, count: int):
     """Whole-point mirror of sublanes past ``edge``: rows edge+1..edge+count
-    become rows edge-1..edge-count; anything beyond is zeroed.  Static
-    slices + concat only (no reversal primitive needed).  ``count`` is
-    clamped to the rows available past ``edge``."""
-    L = a.shape[0]
-    count = max(0, min(count, L - 1 - edge))
-    parts = [a[: edge + 1]]
-    for m in range(1, count + 1):
-        parts.append(a[edge - m : edge - m + 1])
-    used = edge + 1 + count
-    if used < L:
-        parts.append(jnp.zeros((L - used,) + a.shape[1:], a.dtype))
-    return jnp.concatenate(parts, axis=0)
+    become rows edge-1..edge-count; anything beyond is zeroed."""
+    return _mirror_tail_ax(a, edge, count, 0, repeat=False)
 
 
 #: row halo of the PAD-FREE multi-scale kernel: >= HALO2 and a multiple
@@ -657,11 +694,7 @@ def _mirror_head_sub(a, center: int, count: int):
     """Whole-point mirror of sublanes above ``center``: rows center-m
     become rows center+m for m=1..count; rows below center-count are
     kept (they are outside any halo and never read)."""
-    parts = [a[: center - count]]
-    for m in range(count, 0, -1):
-        parts.append(a[center + m : center + m + 1])
-    parts.append(a[center:])
-    return jnp.concatenate(parts, axis=0)
+    return _mirror_head_ax(a, center, count, 0, repeat=False)
 
 
 def _2lvl_kernel(x_ref, ll2_ref, hl2_ref, lh2_ref, hh2_ref,
@@ -1031,28 +1064,15 @@ def fused_idwt2_level(
 
 def _mirror_tail_sub_repeat(a, edge: int, count: int):
     """Repeat-mirror of sublanes past ``edge``: ext[edge+1+m] = a[edge-m]
-    (the oracle's even-length bottom rule s[Ns+m] = s[Ns-1-m]).
-    ``count`` is clamped to the rows available past ``edge``."""
-    L = a.shape[0]
-    count = max(0, min(count, L - 1 - edge))
-    parts = [a[: edge + 1]]
-    for m in range(count):
-        parts.append(a[edge - m : edge - m + 1])
-    used = edge + 1 + count
-    if used < L:
-        parts.append(jnp.zeros((L - used,) + a.shape[1:], a.dtype))
-    return jnp.concatenate(parts, axis=0)
+    (the oracle's even-length bottom rule s[Ns+m] = s[Ns-1-m])."""
+    return _mirror_tail_ax(a, edge, count, 0, repeat=True)
 
 
 def _mirror_head_sub_repeat(a, center: int, count: int):
     """Repeat-head mirror of sublanes above ``center``: rows center-m
     become rows center+m-1 (the channel rule d[-m] = d[m-1]); rows
     below center-count are kept."""
-    parts = [a[: center - count]]
-    for m in range(count, 0, -1):
-        parts.append(a[center + m - 1 : center + m])
-    parts.append(a[center:])
-    return jnp.concatenate(parts, axis=0)
+    return _mirror_head_ax(a, center, count, 0, repeat=True)
 
 
 #: row-channel halo of the pad-free multi-scale inverse windows

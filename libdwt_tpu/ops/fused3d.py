@@ -37,6 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from libdwt_tpu.models.wavelets import get_wavelet
 from libdwt_tpu.ops.fused import (
+    _mirror_head_ax,
+    _mirror_tail_ax,
+    _slice_ax,
     _VMEM_LIMIT,
     _check_fused_supported,
     _lift_interleaved,
@@ -62,6 +65,12 @@ HY = 8  # >= 4 needed; multiple of 8 keeps window starts provably aligned
 #: channel-domain halos of the inverse kernel.
 CZ = 2
 CY = 8  # >= 2 needed; multiple of 8 for alignment
+#: mirror-fill depths — the lifting support in signal / channel samples.
+#: Numerically equal to HZ / CZ today, but semantically distinct: the
+#: halos are TILE-GEOMETRY knobs, the depths are WAVELET properties
+#: (guarded by _check_fused_supported's support <= 4 check).
+DEPTH = 4
+CDEPTH = 2
 
 #: soft ceiling for one tile's input window; the lifting chain keeps
 #: ~4 live copies and _tile_params raises the scoped-VMEM ceiling to
@@ -73,52 +82,31 @@ _VMEM_BUDGET_3D = 8 * 1024 * 1024
 _BANDS = ("LLL", "LLH", "LHL", "LHH", "HLL", "HLH", "HHL", "HHH")
 
 
+def _check_approach(approach: str) -> None:
+    if approach not in ("interleaved", "poly"):
+        raise ValueError(
+            f"approach must be 'interleaved' or 'poly', got {approach!r}"
+        )
+
+
 # ----------------------------------------------------------- axis helpers
 
 
-def _slice_ax(a, start, size, axis):
-    return jax.lax.slice_in_dim(a, start, start + size, axis=axis)
-
-
-def _mirror_head_ax(a, center: int, count: int, axis: int, repeat: bool):
-    """Fill rows [center-count, center) of ``axis`` with the mirror of
-    the rows at/after ``center``: whole-point (idx center-m := center+m)
-    or repeat (:= center+m-1).  Rows below center-count are kept."""
-    # skip zero-size parts: Mosaic rejects 0-extent vectors
-    parts = (
-        [_slice_ax(a, 0, center - count, axis)] if center > count else []
-    )
-    for m in range(count, 0, -1):
-        src = center + m - 1 if repeat else center + m
-        parts.append(_slice_ax(a, src, 1, axis))
-    parts.append(_slice_ax(a, center, a.shape[axis] - center, axis))
-    return jnp.concatenate(parts, axis=axis)
-
-
-def _mirror_tail_ax(a, edge: int, count: int, axis: int, repeat: bool):
-    """Fill rows (edge, edge+count] of ``axis`` with the mirror of the
-    rows at/before ``edge`` (whole-point: edge+m := edge-m; repeat:
-    := edge-m+1); zero anything beyond.  ``count`` clamps to the rows
-    available past ``edge``."""
-    L = a.shape[axis]
-    count = max(0, min(count, L - 1 - edge))
-    parts = [_slice_ax(a, 0, edge + 1, axis)]
-    for m in range(1, count + 1):
-        src = edge - m + 1 if repeat else edge - m
-        parts.append(_slice_ax(a, src, 1, axis))
-    used = edge + 1 + count
-    if used < L:
-        shape = list(a.shape)
-        shape[axis] = L - used
-        parts.append(jnp.zeros(shape, a.dtype))
-    return jnp.concatenate(parts, axis=axis)
-
-
-def _scale3(t, wavelet):
+def _scale3(t, wavelet, inverse: bool = False):
+    """Per-axis parity scaling of an interleaved 3-D block (the inverse
+    uses the explicit inverse factors when the wavelet defines them —
+    D4's zeta_e*zeta_o != 1)."""
     if wavelet.scale_s is None or jnp.issubdtype(t.dtype, jnp.integer):
         return t
-    lo = jnp.asarray(wavelet.scale_s, t.dtype)
-    hi = jnp.asarray(wavelet.scale_d, t.dtype)
+    if inverse:
+        lo_v = (wavelet.inv_scale_s if wavelet.inv_scale_s is not None
+                else wavelet.scale_d)
+        hi_v = (wavelet.inv_scale_d if wavelet.inv_scale_d is not None
+                else wavelet.scale_s)
+    else:
+        lo_v, hi_v = wavelet.scale_s, wavelet.scale_d
+    lo = jnp.asarray(lo_v, t.dtype)
+    hi = jnp.asarray(hi_v, t.dtype)
     for ax in (0, 1, 2):
         f = jnp.where(_parity_mask(t.shape, ax, False), lo, hi)
         t = t * f
@@ -126,16 +114,7 @@ def _scale3(t, wavelet):
 
 
 def _inv_scale3(t, wavelet):
-    if wavelet.scale_s is None or jnp.issubdtype(t.dtype, jnp.integer):
-        return t
-    lo = jnp.asarray(wavelet.inv_scale_s if wavelet.inv_scale_s is not None
-                     else wavelet.scale_d, t.dtype)
-    hi = jnp.asarray(wavelet.inv_scale_d if wavelet.inv_scale_d is not None
-                     else wavelet.scale_s, t.dtype)
-    for ax in (0, 1, 2):
-        f = jnp.where(_parity_mask(t.shape, ax, False), lo, hi)
-        t = t * f
-    return t
+    return _scale3(t, wavelet, inverse=True)
 
 
 def _deint_axis0(v):
@@ -277,8 +256,10 @@ def _pick_tiles(z, y, x, itemsize, budget=_VMEM_BUDGET_3D):
     tz = min(z + z % 2, 32)
     while window_bytes(tz, ty) > budget and ty > 16:
         ty = max(16, (ty // 32) * 16)
-    while window_bytes(tz, ty) > budget and tz > 2:
-        tz = max(2, (tz // 4) * 2)
+    while window_bytes(tz, ty) > budget and tz > HZ:
+        tz = max(HZ, (tz // 4) * 2)
+    # the wrappers clamp tz up to HZ (only tile 0 may clamp its DMA
+    # start), so validate the budget at that floor
     if window_bytes(tz, ty) > budget:
         raise ValueError(
             f"cross-section row of {x} lanes too large for a VMEM tile"
@@ -308,32 +289,34 @@ def _3d_kernel(x_ref, *out_refs_scratch, wavelet, tz, ty, erz, ery, nz, nyy,
     @pl.when(pz == 0)
     def _():
         t_s[:] = _mirror_head_ax(
-            jnp.roll(t_s[:], HZ, axis=0), HZ, HZ, 0, repeat=False
+            jnp.roll(t_s[:], HZ, axis=0), HZ, DEPTH, 0, repeat=False
         )
 
     @pl.when(pz == nz - 1)
     def _():
-        t_s[:] = _mirror_tail_ax(t_s[:], erz, HZ, 0, repeat=False)
+        t_s[:] = _mirror_tail_ax(t_s[:], erz, DEPTH, 0, repeat=False)
 
     if nz >= 2 and erz < 2 * HZ:
         @pl.when(pz == nz - 2)
         def _():
-            t_s[:] = _mirror_tail_ax(t_s[:], erz + tz, HZ, 0, repeat=False)
+            t_s[:] = _mirror_tail_ax(t_s[:], erz + tz, DEPTH, 0,
+                                     repeat=False)
 
     @pl.when(py == 0)
     def _():
         t_s[:] = _mirror_head_ax(
-            jnp.roll(t_s[:], HY, axis=1), HY, HZ, 1, repeat=False
+            jnp.roll(t_s[:], HY, axis=1), HY, DEPTH, 1, repeat=False
         )
 
     @pl.when(py == nyy - 1)
     def _():
-        t_s[:] = _mirror_tail_ax(t_s[:], ery, HZ, 1, repeat=False)
+        t_s[:] = _mirror_tail_ax(t_s[:], ery, DEPTH, 1, repeat=False)
 
     if nyy >= 2 and ery < 2 * HY:
         @pl.when(py == nyy - 2)
         def _():
-            t_s[:] = _mirror_tail_ax(t_s[:], ery + ty, HZ, 1, repeat=False)
+            t_s[:] = _mirror_tail_ax(t_s[:], ery + ty, DEPTH, 1,
+                                     repeat=False)
 
     t = t_s[:]
     # axis order x, y, z — the separable decomposition order of
@@ -380,10 +363,12 @@ def fused_dwt3_level(
 
     Requires even (z, y, x) dims > HZ and a symmetric-step wavelet.
     Arbitrarily large cross-sections are handled by the (z, y) tile
-    grid; only a single x-row of the window must fit VMEM.
+    grid; the minimal (HZ+2*HZ) x (16+2*HY)-row window over the x lanes
+    must fit the VMEM budget (~6500 f32 lanes at the 8MB default).
     """
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
+    _check_approach(approach)
     if x.ndim != 3:
         raise ValueError("fused_dwt3_level takes one 3-D volume")
     z, y, w = x.shape
@@ -482,20 +467,20 @@ def _3d_inv_kernel(*refs, wavelet, tz, ty, erz, ery, nz, nyy,
             def _(s_ref=s_ref, axis=axis, off=off, is_low=is_low):
                 rolled = jnp.roll(s_ref[:], off, axis=axis)
                 s_ref[:] = _mirror_head_ax(
-                    rolled, off, CZ, axis, repeat=not is_low
+                    rolled, off, CDEPTH, axis, repeat=not is_low
                 )
 
             @pl.when(pid == n_tiles - 1)
             def _(s_ref=s_ref, axis=axis, er=er, is_low=is_low):
-                s_ref[:] = _mirror_tail_ax(s_ref[:], er, CZ, axis,
+                s_ref[:] = _mirror_tail_ax(s_ref[:], er, CDEPTH, axis,
                                            repeat=is_low)
 
             if n_tiles >= 2 and er < 2 * off:
                 @pl.when(pid == n_tiles - 2)
                 def _(s_ref=s_ref, axis=axis, er=er, stride=stride,
                       is_low=is_low):
-                    s_ref[:] = _mirror_tail_ax(s_ref[:], er + stride, CZ,
-                                               axis, repeat=is_low)
+                    s_ref[:] = _mirror_tail_ax(s_ref[:], er + stride,
+                                               CDEPTH, axis, repeat=is_low)
 
         bands[name] = s_ref[:]
     if jnp.issubdtype(out_ref.dtype, jnp.integer) or approach == "interleaved":
@@ -540,12 +525,16 @@ def fused_idwt3_level(
     """
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
+    _check_approach(approach)
     lll = bands["LLL"]
     cz, cy, cx = lll.shape
     z, y, w = 2 * cz, 2 * cy, 2 * cx
     for name in _BANDS:
         if bands[name].shape != (cz, cy, cx):
-            raise ValueError("fused_idwt3_level needs equal even-band shapes")
+            raise ValueError(
+                f"fused_idwt3_level needs equal band shapes: LLL="
+                f"{(cz, cy, cx)} vs {name}={bands[name].shape}"
+            )
     if min(cz, cy, cx) <= CZ:
         raise ValueError("volume too small for the fused inverse; use the oracle")
 

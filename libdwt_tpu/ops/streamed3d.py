@@ -28,6 +28,7 @@ from libdwt_tpu.models.wavelets import get_wavelet
 from libdwt_tpu.ops.fused import _check_fused_supported, _lift_interleaved
 from libdwt_tpu.ops.streamed import _params, _require, _strip_geom
 from libdwt_tpu.ops.fused3d import (
+    _check_approach,
     _BANDS,
     CZ,
     CY,
@@ -113,6 +114,7 @@ def streamed_dwt3_level(
     :func:`libdwt_tpu.dwt3_level`); even dims."""
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
+    _check_approach(approach)
     z, y, w = x.shape
     if z % 2 or y % 2 or w % 2:
         raise ValueError("streamed 3-D kernel needs even dims")
@@ -244,6 +246,7 @@ def streamed_idwt3_level(
     """Single-level 3-D inverse (inverse of :func:`streamed_dwt3_level`)."""
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
+    _check_approach(approach)
     lll = bands["LLL"]
     cz, cy, cx = lll.shape
     z, y, w = 2 * cz, 2 * cy, 2 * cx

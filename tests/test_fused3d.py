@@ -16,6 +16,13 @@ from libdwt_tpu.ops.fused3d import fused_dwt3_level, fused_idwt3_level
 SHAPES = [(16, 16, 16), (32, 24, 40), (8, 32, 64), (24, 16, 128)]
 
 
+def _rand(z, y, x, dtype=np.float32, seed=0):
+    rng = np.random.RandomState(seed)
+    if np.issubdtype(dtype, np.integer):
+        return jnp.asarray(rng.randint(-512, 512, (z, y, x)).astype(dtype))
+    return jnp.asarray(rng.rand(z, y, x).astype(dtype))
+
+
 @pytest.mark.parametrize("shape", SHAPES)
 @pytest.mark.parametrize("wavelet", ["cdf97", "cdf53", "interp53"])
 def test_fused3d_matches_oracle(shape, wavelet):
@@ -137,3 +144,21 @@ def test_fused3d_short_last_tiles():
         )
     rec = fused_idwt3_level(got, "cdf97", strip_z=4, strip_y=16, interpret=True)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4, rtol=0)
+
+
+def test_fused3d_poly_approach_vs_oracle():
+    # the polyphase float engine is selectable for autotuning; it must
+    # match the oracle like the default interleaved engine does
+    v = _rand(16, 48, 128, seed=21)
+    got = fused_dwt3_level(v, "cdf97", approach="poly", interpret=True)
+    want = dwt3_level(v, "cdf97")
+    d = max(float(jnp.abs(got[n] - want[n]).max()) for n in got)
+    assert d < 3e-6
+    rec = fused_idwt3_level(got, "cdf97", approach="poly", interpret=True)
+    assert float(jnp.abs(rec - v).max()) < 3e-6
+
+
+def test_fused3d_rejects_unknown_approach():
+    v = _rand(16, 48, 128)
+    with pytest.raises(ValueError, match="approach"):
+        fused_dwt3_level(v, "cdf97", approach="interleave", interpret=True)
