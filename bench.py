@@ -248,7 +248,13 @@ def main():
     # and loops on-device.  The checksum touches one element of every
     # output buffer — a cheap completion witness (see _fenced_time).
     def _checksum(tree):
-        leaves = jax.tree_util.tree_leaves(tree)
+        # optimization_barrier stops XLA from slice-narrowing a pure-XLA
+        # path down to the elements the checksum reads (the Pallas paths
+        # are opaque anyway, but 'auto' may legitimately time the
+        # separable pyramid)
+        leaves = jax.lax.optimization_barrier(
+            tuple(jax.tree_util.tree_leaves(tree))
+        )
         return sum(jnp.sum(leaf.reshape(-1)[:1]) for leaf in leaves)
 
     # TIMED chains reduce each frame to its checksum INSIDE the scan:

@@ -92,7 +92,9 @@ def _load_disk() -> Dict:
 
 def _save_disk(table: Dict) -> None:
     path = tune_file()
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
     with open(path, "w") as f:
         json.dump(table, f, indent=1, sort_keys=True)
 
@@ -107,7 +109,15 @@ def _bucket(h: int, w: int) -> Optional[int]:
 
 
 def _checksummed(tree):
+    """Cheap completion witness: the first element of every leaf.
+
+    The leaves pass through ``optimization_barrier`` first so XLA
+    cannot slice-narrow a pure-XLA candidate down to the few elements
+    the checksum needs (Pallas outputs are opaque anyway, but the
+    separable candidate is ordinary HLO and would otherwise be
+    under-measured, mis-ranking the crossover)."""
     leaves = jax.tree_util.tree_leaves(tree)
+    leaves = jax.lax.optimization_barrier(tuple(leaves))
     s = sum(jnp.sum(leaf.reshape(-1)[:1].astype(jnp.float32)) for leaf in leaves)
     return s, tree
 
@@ -204,19 +214,27 @@ def _pyramid_candidates(wavelet, levels: int, direction: str = "fwd",
     return cands
 
 
-def _chain_slope_secs(frame_fn, n, dtype, ka=8, kb=32, trials: int = 8):
+def _make_stacks(shape, dtype, ka: int, kb: int) -> Dict:
+    """The two chained input stacks (built once per size and shared by
+    every candidate, so all candidates measure the same data and the
+    host->device transfer is paid once)."""
+    rng = np.random.RandomState(0)
+    return {
+        k: jnp.asarray(rng.rand(k, *shape).astype(jnp.dtype(dtype)))
+        for k in (ka, kb)
+    }
+
+
+def _chain_slope_secs(frame_fn, stacks: Dict, trials: int = 8):
     """Per-frame seconds via the two-length chain slope: each trial is
     one fenced dispatch of a scan over K stacked frames; the slope
     between the two lengths cancels the transport's fixed round-trip
     cost, inside which short-chain execution can hide entirely (see
-    bench.py)."""
+    bench.py).  ``stacks`` maps chain length -> stacked inputs
+    (:func:`_make_stacks`)."""
     import time
 
-    rng = np.random.RandomState(0)
-    stacks = {
-        k: jnp.asarray(rng.rand(k, n, n).astype(jnp.dtype(dtype)))
-        for k in (ka, kb)
-    }
+    ka, kb = sorted(stacks)
 
     def chain(stack):
         # checksum INSIDE the scan body: stacking K full-size results
@@ -260,9 +278,20 @@ def tune_dispatch(
     dispatch then uses the measured table (the perf-driver-informed
     accel selection of /root/reference/src/libdwt.h:1703-1726)."""
     kind = _device_kind()
+    wname = get_name(wavelet)
     table = dict(_load_disk())
     mine = dict(table.get(kind, {}))
     for n in sizes:
+        # key by the dispatch-time bucket (a size between buckets would
+        # otherwise write an entry dispatch_choice can never read)
+        b = _bucket(n, n)
+        if b is None:
+            import sys
+
+            print(f"tune: size {n} below the smallest bucket; skipped",
+                  file=sys.stderr)
+            continue
+        stacks = _make_stacks((n, n), dtype, 8, 32)
         for direction in ("fwd", "inv"):
             rows = {}
             for name, frame_fn in _pyramid_candidates(
@@ -270,7 +299,7 @@ def tune_dispatch(
             ):
                 try:
                     rows[name] = _chain_slope_secs(
-                        frame_fn, n, dtype, trials=trials
+                        frame_fn, stacks, trials=trials
                     )
                 except Exception as e:  # pragma: no cover - device-dependent
                     import sys
@@ -285,9 +314,10 @@ def tune_dispatch(
                 continue
             winner = min(rows, key=rows.get)
             suffix = "" if direction == "fwd" else ":inv"
-            mine[f"{n}:{jnp.dtype(dtype).name}:{wavelet}{suffix}"] = {
+            mine[f"{b}:{jnp.dtype(dtype).name}:{wname}{suffix}"] = {
                 "impl": winner,
                 "secs": rows,
+                "measured_at": n,
             }
     table[kind] = mine
     if save:
@@ -297,7 +327,8 @@ def tune_dispatch(
     return mine
 
 
-def _volume_candidates(wavelet, shape3, direction: str = "fwd"):
+def _volume_candidates(wavelet, shape3, direction: str = "fwd",
+                       itemsize: int = 4):
     """(name, per-volume fn) candidates for a single-level 3-D
     transform; 'inv' runs forward+inverse (shared forward cancels)."""
     from libdwt_tpu.ops.fused3d import fused_dwt3_level, fused_idwt3_level
@@ -306,7 +337,7 @@ def _volume_candidates(wavelet, shape3, direction: str = "fwd"):
         streamed3d_supported, streamed_dwt3_level, streamed_idwt3_level,
     )
 
-    streamed_ok = streamed3d_supported(shape3, wavelet)
+    streamed_ok = streamed3d_supported(shape3, wavelet, itemsize=itemsize)
     if direction == "fwd":
         cands = [("separable", lambda v: dwt3_level(v, wavelet)),
                  ("fused", lambda v: fused_dwt3_level(v, wavelet))]
@@ -335,43 +366,19 @@ def tune_dispatch3(
     """Measure the 3-D single-level crossover (separable vs fused vs
     streamed) on the live device; persisted under a 'vol:' key and
     consulted by api._pick_impl3's 'auto'."""
-    import time
-
     kind = _device_kind()
+    wname = get_name(wavelet)
     table = dict(_load_disk())
     mine = dict(table.get(kind, {}))
-    z, y, x = shape3
-    rng = np.random.RandomState(0)
+    stacks = _make_stacks(shape3, dtype, 2, 6)
+    itemsize = jnp.dtype(dtype).itemsize
     for direction in ("fwd", "inv"):
         rows = {}
-        for name, vol_fn in _volume_candidates(wavelet, shape3, direction):
-            def chain(stack, fn=vol_fn):
-                def body(_, v):
-                    s, _t = _checksummed(fn(v))
-                    return None, s
-
-                return jnp.sum(jax.lax.scan(body, None, stack)[1])
-
+        for name, vol_fn in _volume_candidates(
+            wavelet, shape3, direction, itemsize=itemsize
+        ):
             try:
-                fn = jax.jit(chain)
-                ka, kb = 2, 6
-                stacks = {
-                    k: jnp.asarray(
-                        rng.rand(k, z, y, x).astype(jnp.dtype(dtype))
-                    )
-                    for k in (ka, kb)
-                }
-                for k in (ka, kb):
-                    float(jax.device_get(fn(stacks[k])))
-                best = {ka: float("inf"), kb: float("inf")}
-                for _ in range(trials):
-                    for k in (ka, kb):
-                        t0 = time.perf_counter()
-                        float(jax.device_get(fn(stacks[k])))
-                        best[k] = min(best[k], time.perf_counter() - t0)
-                slope = (best[kb] - best[ka]) / (kb - ka)
-                upper = best[kb] / kb
-                rows[name] = slope if 0.05 * upper < slope <= upper else upper
+                rows[name] = _chain_slope_secs(vol_fn, stacks, trials=trials)
             except Exception as e:  # pragma: no cover - device-dependent
                 import sys
 
@@ -382,7 +389,7 @@ def tune_dispatch3(
             continue
         winner = min(rows, key=rows.get)
         suffix = "" if direction == "fwd" else ":inv"
-        mine[f"vol:{jnp.dtype(dtype).name}:{wavelet}{suffix}"] = {
+        mine[f"vol:{jnp.dtype(dtype).name}:{wname}{suffix}"] = {
             "impl": winner,
             "secs": rows,
         }
@@ -394,13 +401,9 @@ def tune_dispatch3(
     return mine
 
 
-def volume_choice(dtype, wavelet, direction: str = "fwd") -> Optional[str]:
-    """Measured 3-D 'auto' choice for the device kind, or None."""
-    disk = _load_disk()
-    mine = disk.get(_device_kind())
-    if not mine:
-        return None
-    base = f"vol:{jnp.dtype(dtype).name}:{get_name(wavelet)}"
+def _impl_lookup(mine: Dict, base: str, direction: str) -> Optional[str]:
+    """Table lookup with the ':inv' direction split (falling back to
+    the forward entry for tables written before the split)."""
     entry = None
     if direction == "inv":
         entry = mine.get(base + ":inv")
@@ -411,15 +414,25 @@ def volume_choice(dtype, wavelet, direction: str = "fwd") -> Optional[str]:
     return entry.get("impl")
 
 
+def volume_choice(dtype, wavelet, direction: str = "fwd") -> Optional[str]:
+    """Measured 3-D 'auto' choice for the device kind, or None."""
+    disk = _load_disk()
+    mine = disk.get(_device_kind())
+    if not mine:
+        return None
+    return _impl_lookup(
+        mine, f"vol:{jnp.dtype(dtype).name}:{get_name(wavelet)}", direction
+    )
+
+
 def dispatch_choice(
     h: int, w: int, dtype, wavelet, direction: str = "fwd"
 ) -> Optional[str]:
     """Measured 'auto' dispatch choice for a shape, or None when the
-    device kind / bucket has not been tuned (caller falls back to its
-    built-in heuristic).  ``direction='inv'`` consults the inverse
-    crossover table (the fused synthesis and analysis kernels have
-    different measured crossovers); it falls back to the forward entry
-    for tables written before the direction split."""
+    device kind has not been tuned (caller falls back to its built-in
+    heuristic).  ``direction='inv'`` consults the inverse crossover
+    table.  A shape whose own bucket is untuned uses the largest tuned
+    bucket below it (the best measured predictor available)."""
     disk = _load_disk()
     mine = disk.get(_device_kind())
     if not mine:
@@ -427,15 +440,13 @@ def dispatch_choice(
     b = _bucket(h, w)
     if b is None:
         return None
-    base = f"{b}:{jnp.dtype(dtype).name}:{get_name(wavelet)}"
-    entry = None
-    if direction == "inv":
-        entry = mine.get(base + ":inv")
-    if entry is None:
-        entry = mine.get(base)
-    if entry is None:
-        return None
-    return entry.get("impl")
+    name = get_name(wavelet)
+    dt = jnp.dtype(dtype).name
+    for bb in [x for x in reversed(_BUCKETS) if x <= b]:
+        impl = _impl_lookup(mine, f"{bb}:{dt}:{name}", direction)
+        if impl is not None:
+            return impl
+    return None
 
 
 def get_name(wavelet) -> str:
