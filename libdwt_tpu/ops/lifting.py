@@ -161,6 +161,23 @@ def _int_steps(s, d, wavelet: Wavelet, inverse: bool, border: str = "mirror"):
 # ------------------------------------------------------------------ public API
 
 
+def _inv_scales(wavelet: Wavelet):
+    """(inv_scale_s, inv_scale_d) with the CDF-convention fallback
+    (scale_d == 1/scale_s there); D4 defines explicit values."""
+    inv_s = wavelet.inv_scale_s if wavelet.inv_scale_s is not None else wavelet.scale_d
+    inv_d = wavelet.inv_scale_d if wavelet.inv_scale_d is not None else wavelet.scale_s
+    return inv_s, inv_d
+
+
+def _check_int_dtype(dtype) -> None:
+    if not jnp.issubdtype(dtype, jnp.signedinteger):
+        raise ValueError(
+            f"reversible integer lifting needs a signed dtype, got "
+            f"{jnp.dtype(dtype).name}; cast to int32 first (negative "
+            "weights and arithmetic shifts are invalid for unsigned)"
+        )
+
+
 def lift_fwd(
     x: jax.Array, wavelet="cdf97", axis: int = -1
 ) -> Tuple[jax.Array, jax.Array]:
@@ -174,6 +191,8 @@ def lift_fwd(
     x = jnp.moveaxis(x, axis, -1)
     n = x.shape[-1]
     is_int = jnp.issubdtype(x.dtype, jnp.integer)
+    if is_int:
+        _check_int_dtype(x.dtype)
 
     if n == 0:
         s, d = x, x
@@ -183,10 +202,11 @@ def lift_fwd(
         if is_int:
             s = x
         else:
-            s = x * jnp.asarray(wavelet.scale_s or 1.0, x.dtype)
+            scale = wavelet.scale_s if wavelet.scale_s is not None else 1.0
+            s = x * jnp.asarray(scale, x.dtype)
         d = x[..., :0]
     else:
-        s, d = x[..., 0::2], x[..., 1::2]
+        s, d = split(x, axis=-1)
         if is_int:
             s, d = _int_steps(s, d, wavelet, inverse=False)
         else:
@@ -228,14 +248,24 @@ def lift_inv(
     d = jnp.moveaxis(high, axis, -1)
     n = s.shape[-1] + d.shape[-1]
     is_int = jnp.issubdtype(s.dtype, jnp.integer)
+    if is_int:
+        _check_int_dtype(s.dtype)
+        if wavelet.int_steps is None:
+            raise ValueError(
+                f"wavelet {wavelet.name} has no reversible integer path"
+            )
 
     if n == 0:
         return jnp.moveaxis(s, -1, axis)
-    if n == 1:
+    if n == 1 and border != "zero":
+        # mirror/hole: every neighbour of the single sample is virtual
+        # and contributes nothing at n == 1, so the inverse is the
+        # plain unscaling.  'zero' differs (the virtual zero samples
+        # themselves lift and feed back) and takes the padded path.
         if is_int:
             x = s
         else:
-            inv_s = wavelet.inv_scale_s if wavelet.inv_scale_s is not None else wavelet.scale_d
+            inv_s, _ = _inv_scales(wavelet)
             x = s * jnp.asarray(inv_s if inv_s is not None else 1.0, s.dtype)
         return jnp.moveaxis(x, -1, axis)
 
@@ -256,8 +286,7 @@ def lift_inv(
         s, d = _int_steps(s, d, wavelet, inverse=True, border=border)
     else:
         if wavelet.scale_s is not None:
-            inv_s = wavelet.inv_scale_s if wavelet.inv_scale_s is not None else wavelet.scale_d
-            inv_d = wavelet.inv_scale_d if wavelet.inv_scale_d is not None else wavelet.scale_s
+            inv_s, inv_d = _inv_scales(wavelet)
             s = s * jnp.asarray(inv_s, s.dtype)
             d = d * jnp.asarray(inv_d, d.dtype)
         s, d = _float_steps(s, d, wavelet, inverse=True, border=border)

@@ -99,13 +99,16 @@ def dwt3_level(x, wavelet="cdf97"):
     return bands
 
 
-def idwt3_level(bands, wavelet="cdf97"):
-    """Inverse of :func:`dwt3_level`."""
+def idwt3_level(bands, wavelet="cdf97", border="mirror"):
+    """Inverse of :func:`dwt3_level`.  ``border`` selects the sparse-
+    reconstruction virtual-sample mode ('mirror'/'hole'/'zero'), as in
+    the 2-D path."""
     for axis in (-3, -2, -1):
         new = {}
         names = sorted({n[1:] for n in bands})
         for name in names:
-            new[name] = lift_inv(bands["L" + name], bands["H" + name], wavelet, axis=axis)
+            new[name] = lift_inv(bands["L" + name], bands["H" + name],
+                                 wavelet, axis=axis, border=border)
         bands = new
     return bands[""]
 
@@ -164,12 +167,12 @@ def wavedec3(x, wavelet="cdf97", level: Optional[int] = None):
     return [low] + coeffs[::-1]
 
 
-def waverec3(coeffs, wavelet="cdf97"):
+def waverec3(coeffs, wavelet="cdf97", border="mirror"):
     low = coeffs[0]
     for bands in coeffs[1:]:
         full = dict(bands)
         full["LLL"] = low
-        low = idwt3_level(full, wavelet)
+        low = idwt3_level(full, wavelet, border=border)
     return low
 
 
@@ -204,7 +207,8 @@ def fdwt1(x, wavelet="cdf97", level: Optional[int] = None, axis=-1):
     return jnp.moveaxis(y, -1, axis)
 
 
-def idwt1_packed(y, wavelet="cdf97", level: Optional[int] = None, axis=-1):
+def idwt1_packed(y, wavelet="cdf97", level: Optional[int] = None, axis=-1,
+                 border="mirror"):
     y = jnp.moveaxis(y, axis, -1)
     n = y.shape[-1]
     j = resolve_j(n, n, level)
@@ -212,7 +216,8 @@ def idwt1_packed(y, wavelet="cdf97", level: Optional[int] = None, axis=-1):
     for lvl in range(j - 1, -1, -1):
         nj = ceil_div_pow2(n, lvl)
         c = -(-nj // 2)
-        rec = lift_inv(x[..., :c], x[..., c:nj], wavelet, axis=-1)
+        rec = lift_inv(x[..., :c], x[..., c:nj], wavelet, axis=-1,
+                       border=border)
         x = x.at[..., :nj].set(rec)
     return jnp.moveaxis(x, -1, axis)
 
@@ -232,8 +237,10 @@ def fdwt2(x, wavelet="cdf97", level: Optional[int] = None):
     return y
 
 
-def idwt2(y, wavelet="cdf97", level: Optional[int] = None):
-    """Inverse of :func:`fdwt2` (dwt_cdf97_2i_s, /root/reference/src/libdwt.c:17040)."""
+def idwt2(y, wavelet="cdf97", level: Optional[int] = None, border="mirror"):
+    """Inverse of :func:`fdwt2` (dwt_cdf97_2i_s, /root/reference/src/libdwt.c:17040).
+    ``border`` selects the sparse-reconstruction virtual-sample mode
+    ('mirror'/'hole'/'zero', /root/reference/src/libdwt.h:909-933)."""
     y = jnp.asarray(y)
     h, w = y.shape[-2], y.shape[-1]
     j = resolve_j(h, w, level)
@@ -241,7 +248,7 @@ def idwt2(y, wavelet="cdf97", level: Optional[int] = None):
     for lvl in range(j - 1, -1, -1):
         hj, wj = ceil_div_pow2(h, lvl), ceil_div_pow2(w, lvl)
         ll, hl, lh, hh = _unpack2(x[..., :hj, :wj], hj, wj)
-        rec = idwt2_level(ll, hl, lh, hh, wavelet)
+        rec = idwt2_level(ll, hl, lh, hh, wavelet, border=border)
         x = x.at[..., :hj, :wj].set(rec)
     return x
 
@@ -272,7 +279,8 @@ def fdwt3(x, wavelet="cdf97", level: Optional[int] = None):
     return y
 
 
-def idwt3(yv, wavelet="cdf97", level: Optional[int] = None):
+def idwt3(yv, wavelet="cdf97", level: Optional[int] = None,
+          border="mirror"):
     """Inverse of :func:`fdwt3`."""
     yv = jnp.asarray(yv)
     dz, dy, dx = yv.shape[-3:]
@@ -287,6 +295,6 @@ def idwt3(yv, wavelet="cdf97", level: Optional[int] = None):
             for iy, yn in ((slice(0, cy), "L"), (slice(cy, sz[1]), "H")):
                 for ix, xn in ((slice(0, cx), "L"), (slice(cx, sz[2]), "H")):
                     bands[z + yn + xn] = region[..., iz, iy, ix]
-        rec = idwt3_level(bands, wavelet)
+        rec = idwt3_level(bands, wavelet, border=border)
         x = x.at[..., : sz[0], : sz[1], : sz[2]].set(rec)
     return x
