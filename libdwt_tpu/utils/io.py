@@ -113,7 +113,11 @@ def save_pgm(path: str, img, maxval: int = 255, binary: bool = False) -> None:
         if lib.ldt_pgm_write_p2(path.encode(), _as_c_f32(ac),
                                 a.shape[1], a.shape[0], maxval) == 0:
             return
-    q = np.clip(np.rint(a * maxval), 0, maxval).astype(np.int64)
+    # reference semantics (dwt_util_save_to_pgm_s,
+    # /root/reference/src/libdwt.c:19794): TRUNCATE maxval*px (C
+    # float->int), NaN -> 0, clamp — matching the native codec exactly
+    q = np.trunc(a.astype(np.float64) * maxval)
+    q = np.clip(np.nan_to_num(q, nan=0.0), 0, maxval).astype(np.int64)
     with open(path, "w") as f:
         f.write(f"P2\n{a.shape[1]} {a.shape[0]}\n{maxval}\n")
         f.write("\n".join(str(v) for v in q.ravel()))

@@ -23,25 +23,34 @@
 namespace {
 
 struct Text {
-  std::vector<char> buf;
+  std::vector<char> buf;  // len content bytes + one NUL terminator
+  size_t len = 0;
   size_t pos = 0;
   bool load(const char* path) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return false;
     std::fseek(f, 0, SEEK_END);
     long n = std::ftell(f);
+    if (n < 0) {  // non-seekable (FIFO, ...): no size, cannot slurp
+      std::fclose(f);
+      return false;
+    }
     std::fseek(f, 0, SEEK_SET);
-    buf.resize(static_cast<size_t>(n));
-    size_t rd = n ? std::fread(buf.data(), 1, static_cast<size_t>(n), f) : 0;
+    len = static_cast<size_t>(n);
+    // NUL terminator: strtol/strtof parse straight out of the buffer
+    // and must never scan past the content
+    buf.resize(len + 1);
+    buf[len] = '\0';
+    size_t rd = n ? std::fread(buf.data(), 1, len, f) : 0;
     std::fclose(f);
-    return rd == static_cast<size_t>(n);
+    return rd == len;
   }
   void skip_ws_comments() {
-    while (pos < buf.size()) {
+    while (pos < len) {
       if (std::isspace(static_cast<unsigned char>(buf[pos]))) {
         ++pos;
       } else if (buf[pos] == '#') {
-        while (pos < buf.size() && buf[pos] != '\n') ++pos;
+        while (pos < len && buf[pos] != '\n') ++pos;
       } else {
         break;
       }
@@ -67,7 +76,7 @@ extern "C" {
 int ldt_pgm_probe(const char* path, int64_t* w, int64_t* h, int64_t* maxval) {
   Text t;
   if (!t.load(path)) return -1;
-  if (t.buf.size() < 2 || t.buf[0] != 'P') return -2;
+  if (t.len < 2 || t.buf[0] != 'P') return -2;
   char kind = t.buf[1];
   if (kind != '2' && kind != '5') return -2;
   t.pos = 2;
@@ -83,7 +92,7 @@ int ldt_pgm_probe(const char* path, int64_t* w, int64_t* h, int64_t* maxval) {
 int ldt_pgm_read(const char* path, float* out, int64_t w, int64_t h) {
   Text t;
   if (!t.load(path)) return -1;
-  if (t.buf.size() < 2 || t.buf[0] != 'P') return -2;
+  if (t.len < 2 || t.buf[0] != 'P') return -2;
   char kind = t.buf[1];
   t.pos = 2;
   long W, H, M;
@@ -97,14 +106,15 @@ int ldt_pgm_read(const char* path, float* out, int64_t w, int64_t h) {
       out[i] = static_cast<float>(v);
     }
   } else if (kind == '5') {
+    if (t.pos >= t.len) return -5;  // header ends at EOF
     ++t.pos;  // single whitespace after maxval
     if (M < 256) {
-      if (t.buf.size() - t.pos < static_cast<size_t>(n)) return -5;
+      if (t.len - t.pos < static_cast<size_t>(n)) return -5;
       const unsigned char* p =
           reinterpret_cast<const unsigned char*>(t.buf.data() + t.pos);
       for (int64_t i = 0; i < n; ++i) out[i] = static_cast<float>(p[i]);
     } else {  // 16-bit big-endian
-      if (t.buf.size() - t.pos < static_cast<size_t>(2 * n)) return -5;
+      if (t.len - t.pos < static_cast<size_t>(2 * n)) return -5;
       const unsigned char* p =
           reinterpret_cast<const unsigned char*>(t.buf.data() + t.pos);
       for (int64_t i = 0; i < n; ++i)
@@ -117,8 +127,9 @@ int ldt_pgm_read(const char* path, float* out, int64_t w, int64_t h) {
 }
 
 // Write a P2 (ASCII) PGM from float32 data clamped to [0, maxval] —
-// matching dwt_util_save_to_pgm_s (/root/reference/src/libdwt.c:19263-19299):
-// header "P2\n<w> <h>\n<maxval>\n", one value per line.
+// matching dwt_util_save_to_pgm_s (/root/reference/src/libdwt.c:19794):
+// header "P2\n<w> <h>\n<maxval>\n", one value per line, value =
+// TRUNCATED maxval*px (C float->int conversion), NaN -> 0, clamped.
 int ldt_pgm_write_p2(const char* path, const float* data, int64_t w, int64_t h,
                      int64_t maxval) {
   FILE* f = std::fopen(path, "w");
@@ -127,13 +138,17 @@ int ldt_pgm_write_p2(const char* path, const float* data, int64_t w, int64_t h,
                static_cast<long long>(h), static_cast<long long>(maxval));
   std::vector<char> out;
   out.reserve(static_cast<size_t>(w * h) * 5);
-  char tmp[16];
+  char tmp[32];
   for (int64_t i = 0; i < w * h; ++i) {
     double v = data[i];
-    long lv = static_cast<long>(v * static_cast<double>(maxval) + 0.5);
+    long lv = v != v ? 0 : static_cast<long>(v * static_cast<double>(maxval));
     if (lv < 0) lv = 0;
     if (lv > maxval) lv = maxval;
     int len = std::snprintf(tmp, sizeof tmp, "%ld\n", lv);
+    if (len < 0 || static_cast<size_t>(len) >= sizeof tmp) {
+      std::fclose(f);
+      return -2;
+    }
     out.insert(out.end(), tmp, tmp + len);
   }
   std::fwrite(out.data(), 1, out.size(), f);
@@ -159,27 +174,32 @@ int ldt_pgm_write_p5(const char* path, const uint8_t* data, int64_t w,
 int ldt_mat_probe(const char* path, int64_t* rows, int64_t* cols) {
   Text t;
   if (!t.load(path)) return -1;
+  // count VALUES per row (robust to trailing separators/spaces and
+  // matching what ldt_mat_read's separator-skipping parser consumes)
   int64_t r = 0, c = 0, c0 = -1;
-  int64_t cur = 1;
-  bool any = false;
-  for (size_t i = 0; i < t.buf.size(); ++i) {
+  int64_t values = 0;
+  bool in_value = false;
+  for (size_t i = 0; i < t.len; ++i) {
     char ch = t.buf[i];
-    if (ch == ',' || ch == ';' || ch == '\t') {
-      ++cur;
-    } else if (ch == '\n' || ch == '\r') {
-      if (any) {
-        if (c0 < 0) c0 = cur;
-        if (cur != c0) return -2;
+    if (ch == '\n' || ch == '\r') {
+      if (values) {
+        if (c0 < 0) c0 = values;
+        if (values != c0) return -2;
         ++r;
       }
-      cur = 1;
-      any = false;
-    } else if (!std::isspace(static_cast<unsigned char>(ch))) {
-      any = true;
+      values = 0;
+      in_value = false;
+    } else if (ch == ',' || ch == ';' ||
+               std::isspace(static_cast<unsigned char>(ch))) {
+      in_value = false;
+    } else {
+      if (!in_value) ++values;
+      in_value = true;
     }
   }
-  if (any) {  // last line without newline
-    if (c0 < 0) c0 = cur;
+  if (values) {  // last line without newline
+    if (c0 < 0) c0 = values;
+    if (values != c0) return -2;
     ++r;
   }
   c = c0 < 0 ? 0 : c0;
@@ -193,7 +213,7 @@ int ldt_mat_read(const char* path, float* out, int64_t rows, int64_t cols) {
   Text t;
   if (!t.load(path)) return -1;
   char* p = t.buf.data();
-  char* endbuf = p + t.buf.size();
+  char* endbuf = p + t.len;
   int64_t n = rows * cols;
   for (int64_t i = 0; i < n; ++i) {
     while (p < endbuf &&
