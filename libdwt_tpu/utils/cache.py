@@ -46,7 +46,8 @@ def load_dataset_cached(
     want = _fingerprint(paths)
     if os.path.exists(cache) and os.path.exists(meta):
         try:
-            have = [tuple(e) for e in json.load(open(meta))]
+            with open(meta) as f:
+                have = [tuple(e) for e in json.load(f)]
             if have == [tuple(map(_norm, e)) for e in want]:
                 return np.load(cache, mmap_mode="r")
         except Exception:
@@ -57,7 +58,8 @@ def load_dataset_cached(
     for i, r in enumerate(rows):
         out[i, : len(r)] = r
     np.save(cache, out)
-    json.dump([list(map(_norm, e)) for e in want], open(meta, "w"))
+    with open(meta, "w") as f:
+        json.dump([list(map(_norm, e)) for e in want], f)
     return np.load(cache, mmap_mode="r")
 
 

@@ -105,8 +105,14 @@ def read_exr(path: str) -> Tuple[np.ndarray, List[str]]:
     magic, version = struct.unpack_from("<ii", buf, 0)
     if magic != _MAGIC:
         raise ValueError("not an EXR file")
-    if version & 0x200:
+    # OpenEXR version-field flag bits: 0x200 = single-part tiled,
+    # 0x800 = deep data, 0x1000 = multi-part (openexr file layout doc)
+    if version & 0x1000:
         raise ValueError("multi-part EXR not supported")
+    if version & 0x800:
+        raise ValueError("deep-data EXR not supported")
+    if version & 0x200:
+        raise ValueError("tiled EXR not supported (scanline only)")
 
     pos = 8
     attrs: Dict[str, Tuple[str, bytes]] = {}

@@ -97,7 +97,12 @@ def save_pgm(path: str, img, maxval: int = 255, binary: bool = False) -> None:
         raise ValueError("save_pgm takes a 2-D image")
     lib = nativelib.get()
     if binary:
-        q = np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8)
+        if maxval != 255:
+            raise ValueError("binary (P5) output is 8-bit: maxval must be 255")
+        # same reference truncation + NaN->0 semantics as the P2 path,
+        # so both encodings of one image quantize identically
+        q = np.trunc(a.astype(np.float64) * 255.0)
+        q = np.clip(np.nan_to_num(q, nan=0.0), 0, 255).astype(np.uint8)
         if lib is not None:
             q = np.ascontiguousarray(q)
             if lib.ldt_pgm_write_p5(path.encode(),

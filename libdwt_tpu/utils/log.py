@@ -45,6 +45,9 @@ def get_logger() -> logging.Logger:
             h.setFormatter(_AnsiFormatter("%(levelname)s %(name)s: %(message)s"))
             lg.addHandler(h)
             lg.setLevel(logging.INFO)
+            # dedicated handler attached: don't also bubble to root
+            # (an app's basicConfig would print every line twice)
+            lg.propagate = False
         _logger = lg
     return _logger
 

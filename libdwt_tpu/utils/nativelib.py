@@ -29,16 +29,26 @@ c_u8_p = ctypes.POINTER(ctypes.c_uint8)
 
 def _try_build() -> None:
     mk = os.path.join(_HERE, "native", "Makefile")
-    if os.path.exists(mk):
-        try:
-            subprocess.run(
-                ["make", "-C", os.path.dirname(mk)],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
-            pass
+    if not os.path.exists(mk):
+        return
+    # serialize concurrent builders (pytest -n N on a clean checkout):
+    # without the lock the linker rewrites the .so while another
+    # process maps it
+    lock_path = os.path.join(os.path.dirname(mk), ".build.lock")
+    try:
+        import fcntl
+
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if not os.path.exists(_SO_PATH):
+                subprocess.run(
+                    ["make", "-C", os.path.dirname(mk)],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+    except Exception:
+        pass
 
 
 def get() -> Optional[ctypes.CDLL]:

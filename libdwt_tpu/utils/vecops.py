@@ -51,11 +51,15 @@ def dot(a, b):
 
 def normalize(x, p: float = 2.0):
     """Divide by the lp norm (dwt_util_normalize_s; the norm is the
-    reference's sum(|c|^p)^(1/p) over the whole array)."""
+    reference's sum(|c|^p)^(1/p) over the LAST TWO axes, batched over
+    any leading axes)."""
     x = jnp.asarray(x)
-    flat = x.reshape((1,) + x.shape) if x.ndim == 1 else x
-    norm = band_lpnorm(flat.reshape(1, -1) if x.ndim == 1 else x, p)
-    return x / norm
+    x2 = x.reshape((1, -1)) if x.ndim == 1 else x
+    norm = band_lpnorm(x2, p)
+    if x.ndim == 1:
+        return x / norm.reshape(())
+    # broadcast the (batch...)-shaped norm back over the two reduced axes
+    return x / norm[..., None, None]
 
 
 def add(a, b):
@@ -131,6 +135,8 @@ def get_center1(x, p: float = 10.0) -> int:
     import numpy as np
 
     v = np.abs(np.asarray(x)).astype(np.float64) ** p
+    if v.ndim != 1:
+        raise ValueError("get_center1 takes a 1-D signal")
     total = v.sum()
     n = len(v)
     if total == 0:

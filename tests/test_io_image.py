@@ -32,7 +32,8 @@ def test_pgm_roundtrip_p5(tmp_path):
     p = str(tmp_path / "t5.pgm")
     dio.save_pgm(p, img, binary=True)
     back = dio.load_pgm(p)
-    assert np.abs(back - img).max() <= 0.5 / 255 + 1e-6
+    # truncation quantizer (reference semantics): full-step bound
+    assert np.abs(back - img).max() <= 1.0 / 255 + 1e-6
 
 
 def test_pgm_python_fallback_matches_native(tmp_path):
