@@ -59,28 +59,36 @@ def _neighbors(s, d, w, n: int):
     s-steps likewise for each even target, replicating the border rules
     at /root/reference/src/eaw-experimental.c:100-175.
     """
+    from libdwt_tpu.ops.lifting import _d_neighbors, _s_neighbors
+
     nl, nh = s.shape[-1], d.shape[-1]
     we = w[..., 0::2]  # w at even i
     wo = w[..., 1::2]  # w at odd i
 
-    # d target i=2k+1: neighbours s[k], s[k+1]; weights w[2k], w[2k+1]
-    d_l = s[..., :nh]
-    d_wl = we[..., :nh]
-    if nl > nh:  # odd N: every odd sample has a true right neighbour
-        d_r = s[..., 1 : nh + 1]
-    else:  # even N: last odd mirrors left; wo[-1] already patched to w[N-2]
-        d_r = jnp.concatenate([s[..., 1:], s[..., -1:]], axis=-1)
-    d_wr = wo[..., :nh]
+    # value channels: the mirror border rules live in ops/lifting
+    d_l, d_r = _d_neighbors(s, nh)
+    s_l, s_r = _s_neighbors(d, nl)
 
-    # s target i=2k: neighbours d[k-1], d[k]; weights w[2k-1], w[2k]
-    s_l = jnp.concatenate([d[..., :1], d[..., : nl - 1]], axis=-1)
+    # d target i=2k+1: weights w[2k], w[2k+1]
+    d_wl = we[..., :nh]
+    d_wr = wo[..., :nh]
+    # s target i=2k: weights w[2k-1], w[2k] (w[-1] := w[0]; wo/we[-1]
+    # already carry the reference's w[N-1] := w[N-2] patch)
     s_wl = jnp.concatenate([we[..., :1], wo[..., : nl - 1]], axis=-1)
-    if nl == nh:
-        s_r = d
-    else:  # odd N: last even mirrors left; we[-1] patched to w[N-2]
-        s_r = jnp.concatenate([d, d[..., -1:]], axis=-1)
     s_wr = we[..., :nl]
     return (d_l, d_r, d_wl, d_wr), (s_l, s_r, s_wl, s_wr)
+
+
+def _check_eaw_supported(wavelet: Wavelet) -> None:
+    """The weighted-lifting formula c*(wL*l + wR*r)/(wL + wR) is the
+    weight-split of a SYMMETRIC step's 2c*(l+r)/2; asymmetric steps
+    (haar, d4) have no such split (the reference's EAW family is WCDF
+    5/3 / 9/7 only, /root/reference/README:19-20)."""
+    if any(not st.is_symmetric for st in wavelet.steps):
+        raise ValueError(
+            f"edge-avoiding lifting needs symmetric steps; "
+            f"'{wavelet.name}' is not supported (reference: WCDF 5/3, 9/7)"
+        )
 
 
 def _steps(s, d, w, wavelet: Wavelet, inverse: bool):
@@ -108,10 +116,12 @@ def eaw_lift_fwd(
     (/root/reference/src/eaw-experimental.c:73-187).
     """
     wavelet = get_wavelet(wavelet)
+    _check_eaw_supported(wavelet)
     x = jnp.moveaxis(x, axis, -1)
     n = x.shape[-1]
     if n < 2:
-        sc = jnp.asarray(wavelet.scale_s or 1.0, x.dtype)
+        sc = jnp.asarray(
+            wavelet.scale_s if wavelet.scale_s is not None else 1.0, x.dtype)
         lo = jnp.moveaxis(x * sc, -1, axis)
         return lo, jnp.moveaxis(x[..., :0], -1, axis), jnp.moveaxis(x * 0, -1, axis)
     w = eaw_weights(x, alpha) if weights is None else jnp.moveaxis(weights, axis, -1)
@@ -133,17 +143,22 @@ def eaw_lift_inv(
 ) -> jax.Array:
     """Inverse of :func:`eaw_lift_fwd` given the forward's weights
     (dwt_eaw97_i_ex_stride_s, /root/reference/src/eaw-experimental.c:189-301)."""
+    from libdwt_tpu.ops.lifting import _inv_scales
+
     wavelet = get_wavelet(wavelet)
+    _check_eaw_supported(wavelet)
     s = jnp.moveaxis(low, axis, -1)
     d = jnp.moveaxis(high, axis, -1)
     n = s.shape[-1] + d.shape[-1]
     if n < 2:
-        sc = jnp.asarray(wavelet.scale_d or 1.0, s.dtype)
+        inv_s, _ = _inv_scales(wavelet)
+        sc = jnp.asarray(inv_s if inv_s is not None else 1.0, s.dtype)
         return jnp.moveaxis(s * sc, -1, axis)
     w = jnp.moveaxis(weights, axis, -1)
     if wavelet.scale_s is not None:
-        s = s * jnp.asarray(wavelet.scale_d, s.dtype)
-        d = d * jnp.asarray(wavelet.scale_s, d.dtype)
+        inv_s, inv_d = _inv_scales(wavelet)
+        s = s * jnp.asarray(inv_s, s.dtype)
+        d = d * jnp.asarray(inv_d, d.dtype)
     s, d = _steps(s, d, w, wavelet, inverse=True)
     return jnp.moveaxis(merge(s, d, axis=-1), -1, axis)
 

@@ -152,6 +152,9 @@ def features(a, j_max: int, which: str = "wps"):
             if ry.stop - ry.start and rx.stop - rx.start:
                 v = a[..., ry, rx]
                 out.append(fn(v, j) if which == "wps" else fn(v))
+    if not out:  # j_max <= 1 or all bands empty: empty feature vector,
+        # matching the reference's j = 1..j_max-1 loops producing none
+        return jnp.zeros(a.shape[:-2] + (0,), a.dtype)
     return jnp.stack(out, axis=-1)
 
 
@@ -182,11 +185,14 @@ def denoise2(x, wavelet="cdf97", level: Optional[int] = None, mode: str = "soft"
     """Denoise a 2-D image: transform, threshold detail bands with the
     universal threshold, inverse transform (examples/spectra-blobs path)."""
     from libdwt_tpu.api import wavedec2, waverec2
-    from libdwt_tpu.ops.separable import fdwt2
 
     coeffs = wavedec2(x, wavelet, level, impl=impl)
-    packed = fdwt2(x, wavelet, 1)
-    lam = estimate_threshold(packed)
+    # the universal threshold needs only |HH1|, which the pyramid
+    # already holds (coeffs[-1][2]) — no second level-1 transform
+    hh1 = coeffs[-1][2]
+    h, w = x.shape[-2], x.shape[-1]
+    sigma = band_med(jnp.abs(hh1)) / 0.6745
+    lam = sigma * jnp.sqrt(2.0 * jnp.log(jnp.asarray(float(h * w), x.dtype)))
     thr = soft_threshold if mode == "soft" else hard_threshold
     shrunk = [coeffs[0]] + [
         tuple(thr(b, lam) for b in lvl) for lvl in coeffs[1:]

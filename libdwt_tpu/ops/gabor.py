@@ -248,9 +248,12 @@ def detect_ridges3(magnitude: jax.Array, threshold: float = 0.0) -> jax.Array:
     xx = jax.lax.broadcasted_iota(jnp.int32, m.shape, m.ndim - 1)
     ty = jnp.clip(yy + ny, 0, h - 1)
     tx = jnp.clip(xx + nx, 0, w - 1)
-    nxt = m[..., ty, tx] if m.ndim == 2 else jnp.take_along_axis(
-        jnp.take_along_axis(m, ty, axis=-2), tx, axis=-1
-    )
+    # flat gather: composing two take_along_axis calls would sample ty
+    # at the wrong column for batched inputs
+    flat = (ty * w + tx).reshape(m.shape[:-2] + (h * w,))
+    nxt = jnp.take_along_axis(
+        m.reshape(m.shape[:-2] + (h * w,)), flat, axis=-1
+    ).reshape(m.shape)
     hit = (m >= nxt) & (m > threshold)
     out = jnp.where(hit, m / (2.0 * math.pi), 0.0)
     interior = (
@@ -290,11 +293,12 @@ def test_signal(size: int, type: int = 0) -> np.ndarray:
         out = np.cos(0.5 * t * t * omega) + np.cos(0.5 * t * t * omega + 0.4 * t * omega)
     elif type == 7:
         center = size // 2
-        out = np.real(gabor_function(i - center, size / 8, 0.5))
+        # size/8 is C INTEGER division in the reference (gabor.c:498)
+        out = np.real(gabor_function(i - center, size // 8, 0.5))
     elif type == 8:
         c0, c1 = size // 4, 3 * size // 4
-        out = np.real(gabor_function(i - c0, size / 16, 1.0)) + np.real(
-            gabor_function(i - c1, size / 16, 2.0)
+        out = np.real(gabor_function(i - c0, size // 16, 1.0)) + np.real(
+            gabor_function(i - c1, size // 16, 2.0)
         )
     else:
         raise ValueError(f"unknown test signal type {type}")

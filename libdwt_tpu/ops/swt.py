@@ -42,7 +42,9 @@ def _analysis_filters_np(name: str) -> Tuple[np.ndarray, np.ndarray, int, int]:
     wavelet = get_wavelet(name)
     n = 64
     eye = jnp.eye(n, dtype=jnp.float64)
-    lo, hi = lift_fwd(eye, wavelet, axis=-1)  # [k, i] = weight of x[k] in out[i]
+    # jitted: one eager dispatch here would poison the process's
+    # dispatch latency for its whole life (CLAUDE.md timing landmine)
+    lo, hi = jax.jit(lambda e: lift_fwd(e, wavelet, axis=-1))(eye)
     lo = np.asarray(lo)
     hi = np.asarray(hi)
     i0 = n // 4
@@ -122,8 +124,16 @@ def iswt1(coeffs, wavelet="cdf97", axis: int = -1):
     The reference ships no inverse SWT; this is the classic ISWT: at
     level j the approx/detail pair is decimated at the 2^j phases, each
     phase inverted with the DWT inverse, and the shifted reconstructions
-    averaged.
+    averaged.  Needs the length divisible by 2^level (the phase
+    decimation at the deepest level).
     """
+    level = len(coeffs) - 1
+    n = jnp.asarray(coeffs[0]).shape[axis]
+    if n % (1 << level):
+        raise ValueError(
+            f"ISWT needs the transformed axis ({n}) divisible by "
+            f"2^level ({1 << level})"
+        )
     rec = _synthesis_pair(wavelet)
     approx = coeffs[0]
     level = len(coeffs) - 1
@@ -162,7 +172,15 @@ def swt2(x, wavelet="cdf97", level: int = 1):
 
 
 def iswt2(coeffs, wavelet="cdf97"):
-    """Inverse multi-level 2-D SWT (phase-averaged separable recursion)."""
+    """Inverse multi-level 2-D SWT (phase-averaged separable recursion).
+    Needs both image dims divisible by 2^level."""
+    level0 = len(coeffs) - 1
+    a0 = jnp.asarray(coeffs[0])
+    if a0.shape[-1] % (1 << level0) or a0.shape[-2] % (1 << level0):
+        raise ValueError(
+            f"ISWT needs H, W ({a0.shape[-2]}, {a0.shape[-1]}) divisible "
+            f"by 2^level ({1 << level0})"
+        )
     rec = _synthesis_pair(wavelet)
     approx = coeffs[0]
     level = len(coeffs) - 1

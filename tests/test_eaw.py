@@ -64,3 +64,15 @@ def test_eaw_batched():
     lo, hi, w = eaw_lift_fwd(x, "cdf97", 0.8)
     rec = eaw_lift_inv(lo, hi, w, "cdf97")
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-10)
+
+
+# ------------------------------------------------ review-regression cases
+
+
+def test_asymmetric_wavelets_rejected():
+    # the weighted-lifting split only exists for symmetric steps; d4
+    # previously became a silent no-op (c = 2*0.0)
+    x = jnp.asarray(np.random.RandomState(0).rand(32, 32).astype(np.float32))
+    for wav in ("d4", "haar"):
+        with pytest.raises(ValueError, match="symmetric"):
+            eaw_wavedec2(x, wav, 1)

@@ -133,3 +133,31 @@ def test_tf_plane_batched():
     for i in range(3):
         single = np.asarray(G.gabor_ft(sigs[i], 8, sigma=4.0))
         np.testing.assert_allclose(batch[i], single, atol=1e-6)
+
+
+# ------------------------------------------------ review-regression cases
+
+
+def test_detect_ridges3_batched_matches_2d():
+    # the batched gather previously sampled the y-offset at the wrong
+    # column; per-image and batched calls must agree exactly
+    from libdwt_tpu.ops.gabor import detect_ridges3
+
+    rng = np.random.RandomState(7)
+    m = rng.rand(3, 16, 20).astype(np.float32)
+    batched = np.asarray(detect_ridges3(m))
+    singles = np.stack([np.asarray(detect_ridges3(m[i])) for i in range(3)])
+    np.testing.assert_array_equal(batched, singles)
+
+
+def test_test_signal_sigma_integer_division():
+    # reference uses C int division for sigma (gabor.c:498): size=100
+    # must use sigma=12, not 12.5
+    import numpy as np
+
+    from libdwt_tpu.ops.gabor import gabor_function, test_signal
+
+    got = test_signal(100, 7)
+    i = np.arange(100, dtype=np.float64)
+    want = np.real(gabor_function(i - 50, 100 // 8, 0.5))
+    np.testing.assert_allclose(got, want, atol=0)

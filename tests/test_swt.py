@@ -88,3 +88,14 @@ def test_find_max_pos():
     a[3, 2] = 9.0
     v, y, x = find_max_pos(jnp.asarray(a))
     assert float(v) == 9.0 and int(y) == 3 and int(x) == 2
+
+
+def test_iswt_rejects_nondivisible_length():
+    import pytest
+
+    from libdwt_tpu.ops.swt import iswt1, swt1
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1022).astype(np.float32))
+    coeffs = swt1(x, "cdf97", 2)  # forward accepts any length
+    with pytest.raises(ValueError, match="divisible"):
+        iswt1(coeffs, "cdf97")
