@@ -243,15 +243,33 @@ def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None,
         w = coeffs[-1][0].shape[-1] + coeffs[-1][1].shape[-1]
         choice = _pick_impl(h, w, wavelet, impl, ll.dtype, direction="inv",
                             levels=len(coeffs) - 1)
-        if choice in ("fused", "streamed") and ll.ndim == 2:
+        if choice in ("fused", "streamed"):
             if choice == "streamed":
-                from libdwt_tpu.ops.streamed import streamed_waverec2
+                from libdwt_tpu.ops.streamed import streamed_waverec2 as rec_fn
+            else:
+                from libdwt_tpu.ops.fused import fused_waverec2 as rec_fn
 
-                return streamed_waverec2(coeffs, wavelet,
-                                         interpret=not _on_tpu())
-            from libdwt_tpu.ops.fused import fused_waverec2
+            interp = not _on_tpu()
+            if ll.ndim == 2:
+                return rec_fn(coeffs, wavelet, interpret=interp)
+            # batched: flatten the batch and reconstruct per frame (the
+            # per-level loop below would re-apply an explicit impl to
+            # the tiny coarse levels and raise; the drivers' internal
+            # small-level fallback only exists on the 2-D path)
+            import jax.numpy as jnp
 
-            return fused_waverec2(coeffs, wavelet, interpret=not _on_tpu())
+            batch = ll.shape[:-2]
+            flat = jax.tree_util.tree_map(
+                lambda a: a.reshape((-1,) + a.shape[-2:]), coeffs
+            )
+            n = flat[0].shape[0]
+            per = [
+                rec_fn(jax.tree_util.tree_map(lambda a: a[i], flat),
+                       wavelet, interpret=interp)
+                for i in range(n)
+            ]
+            out = jnp.stack(per)
+            return out.reshape(batch + out.shape[-2:])
     for hl, lh, hh in coeffs[1:]:
         ll = idwt2(ll, hl, lh, hh, wavelet, impl=impl, border=border)
     return ll
@@ -276,6 +294,16 @@ def _pick_impl3(shape3, wavelet, impl, dtype=None,
             )
         return impl
     from libdwt_tpu.ops.fused import fused_supported
+
+    if impl == "fused":
+        z, yy, xx = shape3
+        if not (fused_supported(wavelet) and z % 2 == 0 and yy % 2 == 0
+                and xx % 2 == 0 and min(z, yy, xx) > 4):
+            raise ValueError(
+                "fused 3-D impl needs even dims > 4 and a symmetric-step "
+                "wavelet"
+            )
+        return impl
 
     z, yy, xx = shape3
     ok = (
@@ -303,13 +331,6 @@ def _pick_impl3(shape3, wavelet, impl, dtype=None,
     return "fused"
 
 
-def _use_fused3(shape3, wavelet, impl) -> bool:
-    try:
-        return _pick_impl3(shape3, wavelet, impl) != "separable"
-    except ValueError:
-        return False
-
-
 def wavedec3(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str] = None):
     """Multi-level 3-D MRA with fused-kernel dispatch per level.
 
@@ -321,26 +342,44 @@ def wavedec3(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str
     from libdwt_tpu.ops.fused3d import fused_dwt3_level
     from libdwt_tpu.ops.separable import dwt3_level
 
+    explicit = impl in ("fused", "streamed") or (
+        impl is None and _default_impl in ("fused", "streamed"))
+    if explicit and x.ndim != 3:
+        raise ValueError(
+            f"{impl or _default_impl} 3-D impl needs an unbatched "
+            "(Z, Y, X) volume"
+        )
     dims = x.shape[-3:]
+    if explicit:
+        # honour-or-raise at the TOP level; coarser pyramid levels fall
+        # back to the oracle when their geometry outgrows the kernel
+        # (the 2-D drivers behave the same way)
+        _pick_impl3(dims, wavelet, impl, x.dtype, "fwd")
     j = resolve_j(min(dims), min(dims), level)
     coeffs = []
     low = x
     for _ in range(j):
-        bands = None
-        if x.ndim == 3 and _use_fused3(low.shape[-3:], wavelet, impl):
+        choice = "separable"
+        if low.ndim == 3:
             try:
                 choice = _pick_impl3(low.shape[-3:], wavelet, impl,
                                      low.dtype, "fwd")
-                if choice == "streamed":
-                    from libdwt_tpu.ops.streamed3d import streamed_dwt3_level
-
-                    bands = streamed_dwt3_level(
-                        low, wavelet, interpret=not _on_tpu()
-                    )
-                else:
-                    bands = fused_dwt3_level(low, wavelet)
             except ValueError:
-                bands = None
+                choice = "separable"
+        bands = None
+        try:
+            if choice == "streamed":
+                from libdwt_tpu.ops.streamed3d import streamed_dwt3_level
+
+                bands = streamed_dwt3_level(
+                    low, wavelet, interpret=not _on_tpu()
+                )
+            elif choice == "fused":
+                bands = fused_dwt3_level(
+                    low, wavelet, interpret=not _on_tpu()
+                )
+        except ValueError:
+            bands = None
         if bands is None:
             bands = dwt3_level(low, wavelet)
         low = bands.pop("LLL")
@@ -354,28 +393,46 @@ def waverec3(coeffs, wavelet="cdf97", impl: Optional[str] = None):
     from libdwt_tpu.ops.fused3d import fused_idwt3_level
     from libdwt_tpu.ops.separable import idwt3_level
 
+    explicit = impl in ("fused", "streamed") or (
+        impl is None and _default_impl in ("fused", "streamed"))
     low = coeffs[0]
+    if explicit and low.ndim != 3:
+        raise ValueError(
+            f"{impl or _default_impl} 3-D impl needs an unbatched "
+            "(Z, Y, X) pyramid"
+        )
+    if explicit and len(coeffs) > 1:
+        # honour-or-raise at the FINEST level; coarser levels fall back
+        fine = coeffs[-1]
+        sample = next(iter(fine.values()))
+        shape3_f = tuple(2 * s for s in sample.shape[-3:])
+        _pick_impl3(shape3_f, wavelet, impl, sample.dtype, "inv")
     for bands in coeffs[1:]:
         full = dict(bands)
         full["LLL"] = low
-        rec = None
         shape3 = tuple(2 * s for s in low.shape[-3:])
-        if low.ndim == 3 and _use_fused3(shape3, wavelet, impl) and all(
-            b.shape == low.shape for b in full.values()
-        ):
+        equal_bands = all(b.shape == low.shape for b in full.values())
+        choice = "separable"
+        if low.ndim == 3 and equal_bands:
             try:
                 choice = _pick_impl3(shape3, wavelet, impl,
                                      low.dtype, "inv")
-                if choice == "streamed":
-                    from libdwt_tpu.ops.streamed3d import streamed_idwt3_level
-
-                    rec = streamed_idwt3_level(
-                        full, wavelet, interpret=not _on_tpu()
-                    )
-                else:
-                    rec = fused_idwt3_level(full, wavelet)
             except ValueError:
-                rec = None
+                choice = "separable"
+        rec = None
+        try:
+            if choice == "streamed":
+                from libdwt_tpu.ops.streamed3d import streamed_idwt3_level
+
+                rec = streamed_idwt3_level(
+                    full, wavelet, interpret=not _on_tpu()
+                )
+            elif choice == "fused":
+                rec = fused_idwt3_level(
+                    full, wavelet, interpret=not _on_tpu()
+                )
+        except ValueError:
+            rec = None
         if rec is None:
             rec = idwt3_level(full, wavelet)
         low = rec

@@ -61,9 +61,12 @@ class Image:
     def load_exr(cls, path: str) -> "Image":
         """HDR float image via the native EXR codec (the reference's
         examples/hdr/exr.h analogue).  Single-channel files load as
-        (H, W); multi-channel as (H, W, C) in R, G, B, A order."""
+        (H, W); multi-channel as (C, H, W) in R, G, B, A order — the
+        (..., H, W) layout every transform method assumes."""
         img, _ = dio.read_exr(path)
-        return cls(jnp.asarray(img[:, :, 0] if img.shape[2] == 1 else img))
+        if img.shape[2] == 1:
+            return cls(jnp.asarray(img[:, :, 0]))
+        return cls(jnp.asarray(np.moveaxis(img, -1, 0)))
 
     @classmethod
     def test_pattern(cls, size_y: int, size_x: int, rand: int = 0,
@@ -152,11 +155,18 @@ class Volume:
 
     @classmethod
     def fill_test(cls, size_z: int, size_y: int, size_x: int, dtype=np.float32):
-        """volume_fill_s test pattern (/root/reference/src/volume.c:41)."""
-        z = np.arange(size_z, dtype=np.float64)[:, None, None]
-        y = np.arange(size_y, dtype=np.float64)[None, :, None]
-        x = np.arange(size_x, dtype=np.float64)[None, None, :]
-        return cls(jnp.asarray(((x + y + z) % 64).astype(dtype)))
+        """volume_fill_s test pattern (/root/reference/src/volume.c:41):
+        each z-slice is the 2-D test image with a per-slice triangle-
+        wave rand parameter (z&11 folded at 11/2)."""
+        from libdwt_tpu.utils.testimg import test_image
+
+        slices = []
+        for z in range(size_z):
+            rand = z & 11
+            if rand > 11 // 2:
+                rand = 11 - rand
+            slices.append(test_image(size_y, size_x, rand, dtype=dtype))
+        return cls(jnp.asarray(np.stack(slices)))
 
     @property
     def shape(self):

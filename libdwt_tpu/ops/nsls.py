@@ -127,6 +127,13 @@ def nsls_idwt2_level(ll, hl, lh, hh, wavelet="cdf97"):
     cy, cx = ll.shape[-2], ll.shape[-1]
     fy, fx = hh.shape[-2], hh.shape[-1]
     h, w = cy + fy, cx + fx
+    if min(cy, cx, fy, fx) <= CH:
+        # the channel mirror slices up to row CH; a shorter band would
+        # silently build a wrong halo
+        raise ValueError(
+            f"nsls inverse needs bands > {CH} samples per axis; "
+            f"got LL {ll.shape[-2:]} / HH {hh.shape[-2:]}"
+        )
 
     # build the interleaved extended tile host-side: mirror channels by
     # CH, interleave, then run the merged inverse stages.
@@ -146,8 +153,16 @@ def nsls_idwt2_level(ll, hl, lh, hh, wavelet="cdf97"):
     t = t.at[..., 1::2, 0::2].set(lhp)
     t = t.at[..., 1::2, 1::2].set(hhp)
 
-    t = _merged_scale(t, wavelet, inverse=True)
-    for st in wavelet.steps[::-1]:
-        t = _merged_step(t, -st.coeff, st.target == "d")
+    # _merged_step/_merged_scale roll and parity-mask axes 0/1: flatten
+    # any batch axes and vmap, exactly like the forward path
+    flat = t.reshape((-1,) + t.shape[-2:])
+
+    def one(img):
+        u = _merged_scale(img, wavelet, inverse=True)
+        for st in wavelet.steps[::-1]:
+            u = _merged_step(u, -st.coeff, st.target == "d")
+        return u
+
+    t = jax.vmap(one)(flat).reshape(t.shape)
     off = 2 * CH
     return t[..., off : off + h, off : off + w]

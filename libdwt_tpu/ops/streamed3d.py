@@ -97,6 +97,15 @@ def _tiles3(z, y, x, itemsize, strip_z, strip_y):
     if ty % 16:
         raise ValueError("strip_y must be a multiple of 16")
     ty = min(ty, ((y + 15) // 16) * 16)
+    # the double buffer needs >= 2 tiles: shrink AUTO-picked tiles (not
+    # caller-pinned ones) until the grid has at least two
+    while -(-z // tz) * -(-y // ty) < 2:
+        if not strip_z and tz > HZ:
+            tz = max(HZ, (tz // 4) * 2)
+        elif not strip_y and ty > 16:
+            ty = max(16, (ty // 32) * 16)
+        else:
+            break
     return tz, ty
 
 

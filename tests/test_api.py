@@ -89,3 +89,42 @@ def test_streamed3d_impl():
         assert float(jnp.abs(a - b).max()) < 1e-5
     rec = api.waverec3(c, "cdf97", impl="streamed")
     assert float(jnp.abs(rec - v).max()) < 1e-5
+
+
+# ------------------------------------------------ review-regression cases
+
+
+def test_batched_explicit_impl_roundtrip():
+    # waverec2 with an explicit fast impl on batched coefficients used
+    # to re-apply the impl per level and raise on the tiny coarse level
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64)
+                    .astype(np.float32))
+    c = api.wavedec2(x, "cdf97", 4, impl="fused")
+    r = api.waverec2(c, "cdf97", impl="fused")
+    assert float(jnp.abs(r - x).max()) < 1e-4
+
+
+def test_explicit_fused3_honoured_or_raised():
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    v = jnp.asarray(np.random.RandomState(1).rand(16, 32, 64)
+                    .astype(np.float32))
+    c = api.wavedec3(v, "cdf97", 1, impl="fused")
+    s = api.wavedec3(v, "cdf97", 1, impl="separable")
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(c), jax.tree_util.tree_leaves(s)):
+        assert float(jnp.abs(a - b).max()) < 1e-5
+    # odd geometry: explicit fused must raise, not silently degrade
+    bad = jnp.asarray(np.random.RandomState(2).rand(15, 32, 64)
+                      .astype(np.float32))
+    import pytest
+
+    with pytest.raises(ValueError):
+        api.wavedec3(bad, "cdf97", 1, impl="fused")

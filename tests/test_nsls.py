@@ -61,3 +61,20 @@ def test_nsls_rejects_asymmetric():
     x = jnp.zeros((16, 16), jnp.float64)
     with pytest.raises(ValueError, match="symmetric"):
         nsls_dwt2_level(x, "d4")
+
+
+def test_nsls_inverse_batched_matches_oracle():
+    # _merged_step rolls axes 0/1, which are batch axes for batched
+    # input; the inverse must vmap like the forward does
+    x = jnp.asarray(np.random.RandomState(4).rand(2, 32, 32)
+                    .astype(np.float32))
+    bands = dwt2_level(x, "cdf53")
+    rec = nsls_idwt2_level(*bands, "cdf53")
+    assert float(jnp.abs(rec - x).max()) < 1e-5
+
+
+def test_nsls_inverse_rejects_tiny_bands():
+    x = jnp.asarray(np.random.RandomState(5).rand(8, 8).astype(np.float32))
+    bands = dwt2_level(x, "cdf97")
+    with pytest.raises(ValueError):
+        nsls_idwt2_level(*bands, "cdf97")
