@@ -143,7 +143,7 @@ def _tree_max_abs_diff(a, b):
     )
 
 
-def _gates(xs, fwd_coeffs, rec, gate_results):
+def _gates(xs, rec, gate_results):
     """On-device reference-twin validation of the *measured* kernels.
     Each gate is one jitted program; failures are recorded (and fatal
     for the headline metric)."""
@@ -158,13 +158,17 @@ def _gates(xs, fwd_coeffs, rec, gate_results):
         except Exception as e:  # noqa: BLE001 - record any failure mode
             gate_results[name] = f"FAIL: {type(e).__name__}: {e}"
 
+    # every gate input is produced by a JITTED program: one eager
+    # dispatch would poison the process (CLAUDE.md timing landmine) —
+    # harmless here (timing is done) but the docstring's protocol holds
+    x0 = jax.jit(lambda a: a[0])(xs)
+
     # 1. the fused Pallas 4K J=5 pyramid vs the separable oracle,
     # on-device (run explicitly: the measured path follows the tuned
     # dispatch table and may legitimately be the separable one)
     def g_fused_vs_oracle():
         from libdwt_tpu.ops.fused import fused_wavedec2
 
-        x0 = xs[0]
         fus = jax.jit(lambda a: fused_wavedec2(a, "cdf97", LEVELS))(x0)
         sep = jax.jit(
             lambda a: wavedec2(a, "cdf97", LEVELS, impl="separable")
@@ -178,7 +182,6 @@ def _gates(xs, fwd_coeffs, rec, gate_results):
             streamed_waverec2, streamed_wavedec2,
         )
 
-        x0 = xs[0]
         st = jax.jit(lambda a: streamed_wavedec2(a, "cdf97", LEVELS))(x0)
         sep = jax.jit(
             lambda a: wavedec2(a, "cdf97", LEVELS, impl="separable")
@@ -227,12 +230,26 @@ def _gates(xs, fwd_coeffs, rec, gate_results):
         rf = jax.jit(lambda a: idwt2(fdwt2(a, "cdf97", 1), "cdf97", 1))(xf)
         assert float(jnp.abs(rf - xf).max()) <= EPS, "float round trip out of eps"
 
+    # 6. the timed 3-D dispatch path vs the separable oracle (the
+    # fwd3d_mvox_s metric must not ship wrong-fast)
+    def g_vol_vs_oracle():
+        from libdwt_tpu.api import wavedec3
+
+        v = jnp.asarray(
+            np.random.RandomState(3).rand(32, 256, 256).astype(np.float32)
+        )
+        got = jax.jit(lambda a: wavedec3(a, "cdf97", 2))(v)
+        want = jax.jit(lambda a: wavedec3(a, "cdf97", 2, impl="separable"))(v)
+        d = float(jax.jit(_tree_max_abs_diff)(got, want))
+        assert d <= 5e-4, f"3-D dispatch vs oracle max|diff|={d}"
+
     gate("fused_vs_oracle_4k", g_fused_vs_oracle)
     gate("streamed_vs_oracle_4k", g_streamed_vs_oracle)
     gate("roundtrip_4k", g_roundtrip_4k)
     gate("int_fused_512", g_int_fused)
     gate("odd_fused_513x511", g_odd_fused)
     gate("baseline_roundtrips", g_baseline_roundtrips)
+    gate("vol_vs_oracle", g_vol_vs_oracle)
 
 
 def main():
@@ -348,7 +365,7 @@ def main():
     mvox_s = (vz * vy * vx) / vslope / 1e6
 
     gate_results = {}
-    _gates(xs_b, coeffs_b, rec_b, gate_results)
+    _gates(xs_b, rec_b, gate_results)
     gates_ok = all(v == "ok" for v in gate_results.values())
 
     # record which impl the tuned 'auto' dispatch actually timed
@@ -371,8 +388,14 @@ def main():
     # moves >= ~8 B/pixel, so implied BW far above spec means the
     # completion fence failed, not that the kernel is fast.
     implied_bw = mpix_fwd * 1e6 * 8.0 / 1e9
-    suspect = implied_bw > 1.3 * device_bw_gbps()
+    implied_bw_inv = mpix_inv * 1e6 * 8.0 / 1e9
+    implied_bw_vol = mvox_s * 1e6 * 8.0 / 1e9
+    suspect = (
+        max(implied_bw, implied_bw_inv, implied_bw_vol)
+        > 1.3 * device_bw_gbps()
+    )
     vs_baseline = (mpix_fwd / target) if gates_ok and not suspect else 0.0
+    metrics_valid = gates_ok and not suspect
 
     print(
         json.dumps(
@@ -399,7 +422,10 @@ def main():
                         "fwd": fwd_fallback, "inv": inv_fallback,
                     },
                     "implied_bw_gbps": round(implied_bw, 1),
+                    "implied_bw_inv_gbps": round(implied_bw_inv, 1),
+                    "implied_bw_vol_gbps": round(implied_bw_vol, 1),
                     "suspect": suspect,
+                    "metrics_valid": metrics_valid,
                     "gates": gate_results,
                 },
             }

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--volume", default=None,
                     help="also tune the 3-D dispatch at Z,Y,X (e.g. "
                          "64,512,512)")
+    ap.add_argument("--skip-2d", action="store_true",
+                    help="skip the 2-D sweep (e.g. refresh only the "
+                         "--volume entries; the 2-D sweep costs dozens "
+                         "of ~20-60s remote compiles)")
     ap.add_argument("--packaged", action="store_true",
                     help="write straight into the packaged table "
                          "(libdwt_tpu/data/autotune.json) that ships with "
@@ -62,12 +66,14 @@ def main():
 
     sizes = tuple(int(s) for s in args.sizes.split(","))
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
-    table = autotune.tune_dispatch(
-        sizes=sizes,
-        wavelet=args.wavelet,
-        levels=args.levels,
-        trials=args.trials,
-    )
+    table = {}
+    if not args.skip_2d:
+        table = autotune.tune_dispatch(
+            sizes=sizes,
+            wavelet=args.wavelet,
+            levels=args.levels,
+            trials=args.trials,
+        )
     if args.volume:
         shape3 = tuple(int(s) for s in args.volume.split(","))
         table = autotune.tune_dispatch3(
