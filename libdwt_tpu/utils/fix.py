@@ -57,8 +57,12 @@ FIX16 = QFormat("fix16", jnp.int16, 9, jnp.int32)
 
 
 def to_fix(x, q: QFormat = FIX32) -> jax.Array:
-    """conv_float32_to_fix (round-to-nearest)."""
-    return jnp.round(jnp.asarray(x, jnp.float32) * q.one).astype(q.dtype)
+    """conv_float32_to_fix: C roundf = round half AWAY FROM ZERO
+    (fix.h:28-33; jnp.round would round ties to even)."""
+    v = jnp.asarray(x, jnp.float32) * q.one
+    return jnp.where(
+        v >= 0, jnp.floor(v + 0.5), jnp.ceil(v - 0.5)
+    ).astype(q.dtype)
 
 
 def from_fix(x, q: QFormat = FIX32) -> jax.Array:
@@ -99,23 +103,6 @@ def fix_mul(x, y, q: QFormat = FIX32) -> jax.Array:
     return (xh * y + xl * yh + p).astype(q.dtype)
 
 
-def _neighbors_d(s, nh):
-    nl = s.shape[-1]
-    left = s[..., :nh]
-    if nl > nh:
-        right = s[..., 1 : nh + 1]
-    else:
-        right = jnp.concatenate([s[..., 1:], s[..., -1:]], axis=-1)
-    return left, right
-
-
-def _neighbors_s(d, nl):
-    nh = d.shape[-1]
-    left = jnp.concatenate([d[..., :1], d[..., : nl - 1]], axis=-1)
-    right = d if nl == nh else jnp.concatenate([d, d[..., -1:]], axis=-1)
-    return left, right
-
-
 def lift_fwd_fix(x, wavelet="cdf97", q: QFormat = FIX32) -> Tuple[jax.Array, jax.Array]:
     """Forward lifting on Q-format data along the last axis.
 
@@ -124,19 +111,28 @@ def lift_fwd_fix(x, wavelet="cdf97", q: QFormat = FIX32) -> Tuple[jax.Array, jax
     multiplications — the cores2f_cdf97_v2x2_i32 arithmetic
     (/root/reference/examples/cores/cores.c + fix.h).
     """
+    from libdwt_tpu.ops.lifting import _d_neighbors, _s_neighbors
+
     wavelet = get_wavelet(wavelet)
     s, d = x[..., 0::2], x[..., 1::2]
     nl, nh = s.shape[-1], d.shape[-1]
+    if x.shape[-1] < 2:
+        # reference small-N rule: scale the single sample, empty high
+        if wavelet.scale_s is not None and x.shape[-1] == 1:
+            s = fix_mul(s, to_fix(wavelet.scale_s, q), q)
+        return s, d
     for st in wavelet.steps:
         if st.target == "d":
-            l, r = _neighbors_d(s, nh)
+            l, r = _d_neighbors(s, nh)
         else:
-            l, r = _neighbors_s(d, nl)
+            l, r = _s_neighbors(d, nl)
         if st.is_symmetric:
-            cl = cr = st.coeff
+            # one rounded multiply on the SUM — op_x32's fix32_mul(w, l+r)
+            # (/root/reference/examples/cores/cores.c:66-76)
+            upd = fix_mul(l + r, to_fix(st.coeff, q), q)
         else:
-            cl, cr = st.left, st.right
-        upd = fix_mul(l, to_fix(cl, q), q) + fix_mul(r, to_fix(cr, q), q)
+            upd = (fix_mul(l, to_fix(st.left, q), q)
+                   + fix_mul(r, to_fix(st.right, q), q))
         if st.target == "d":
             d = d + upd
         else:
@@ -151,23 +147,31 @@ def lift_inv_fix(s, d, wavelet="cdf97", q: QFormat = FIX32) -> jax.Array:
     """Approximate inverse of :func:`lift_fwd_fix` (quantization means
     the round trip is close but not bit-exact, as in the reference's
     fixed-point cores, verified by MSE in examples/cores/main.c:53-84)."""
+    from libdwt_tpu.ops.lifting import (
+        _d_neighbors, _inv_scales, _s_neighbors,
+    )
+
     wavelet = get_wavelet(wavelet)
     nl, nh = s.shape[-1], d.shape[-1]
+    if nl + nh < 2:
+        if wavelet.scale_s is not None and nl == 1:
+            inv_s, _ = _inv_scales(wavelet)
+            s = fix_mul(s, to_fix(inv_s, q), q)
+        return s
     if wavelet.scale_s is not None:
-        inv_s = wavelet.inv_scale_s if wavelet.inv_scale_s is not None else wavelet.scale_d
-        inv_d = wavelet.inv_scale_d if wavelet.inv_scale_d is not None else wavelet.scale_s
+        inv_s, inv_d = _inv_scales(wavelet)
         s = fix_mul(s, to_fix(inv_s, q), q)
         d = fix_mul(d, to_fix(inv_d, q), q)
     for st in wavelet.steps[::-1]:
         if st.target == "d":
-            l, r = _neighbors_d(s, nh)
+            l, r = _d_neighbors(s, nh)
         else:
-            l, r = _neighbors_s(d, nl)
+            l, r = _s_neighbors(d, nl)
         if st.is_symmetric:
-            cl = cr = st.coeff
+            upd = fix_mul(l + r, to_fix(st.coeff, q), q)
         else:
-            cl, cr = st.left, st.right
-        upd = fix_mul(l, to_fix(cl, q), q) + fix_mul(r, to_fix(cr, q), q)
+            upd = (fix_mul(l, to_fix(st.left, q), q)
+                   + fix_mul(r, to_fix(st.right, q), q))
         if st.target == "d":
             d = d - upd
         else:

@@ -23,7 +23,8 @@ import numpy as np
 
 from libdwt_tpu.utils import nativelib
 
-__all__ = ["measure", "measure_perf_2d", "save_tsv", "page_faults", "info"]
+__all__ = ["measure", "measure_perf_2d", "pin_benchmark_env", "save_tsv",
+           "page_faults", "info"]
 
 
 def measure(
@@ -62,18 +63,39 @@ def measure_perf_2d(
     sizes: Sequence[int] = (32, 64, 128, 256, 512, 1024),
     dtype=np.float32,
     trials: int = 5,
+    fence: bool = True,
 ) -> List[Tuple[int, float, float]]:
     """Sweep square sizes; returns [(n, secs_per_pixel, mpix_per_s)].
 
     The dwt_util_measure_perf_cdf97_2_s analogue
-    (/root/reference/src/libdwt.c:22559-22646).
+    (/root/reference/src/libdwt.c:22559-22646).  ``fence=True`` (the
+    default) wraps the transform with a scalar checksum and forces
+    completion by fetching it — the only reliable fence through a
+    remote transport (see :func:`measure`).
     """
     rows = []
     rng = np.random.RandomState(0)
     for n in sizes:
-        x = jnp.asarray(rng.rand(n, n).astype(dtype))
-        fn = jax.jit(transform)
-        secs = measure(fn, x, trials=trials)
+        data = rng.rand(n, n)
+        if np.issubdtype(np.dtype(dtype), np.integer):
+            data = data * 255  # an all-zero int image would fold away
+        x = jnp.asarray(data.astype(dtype))
+        if fence:
+            def fenced(a, _t=transform):
+                out = _t(a)
+                leaves = jax.lax.optimization_barrier(
+                    tuple(jax.tree_util.tree_leaves(out))
+                )
+                s = sum(
+                    jnp.sum(leaf.reshape(-1)[:1].astype(jnp.float32))
+                    for leaf in leaves
+                )
+                return s, out
+
+            fn = jax.jit(fenced)
+        else:
+            fn = jax.jit(transform)
+        secs = measure(fn, x, trials=trials, fence=fence)
         spp = secs / (n * n)
         rows.append((n, spp, 1.0 / spp / 1e6))
     return rows

@@ -58,7 +58,13 @@ def band_rect(
 ) -> Tuple[slice, slice]:
     """(row_slice, col_slice) of a band at level ``j`` (1-based) in the packed
     layout of an array transformed to depth >= j."""
+    if j < 1 and band != "LL":
+        raise ValueError(
+            f"band {band!r} needs a level >= 1 (detail bands exist only "
+            "after at least one decomposition)"
+        )
     ll_y, ll_x = size_y, size_x
+    h_y, h_x = size_y, size_x
     for _ in range(j):
         h_y, h_x = floor_div2(ll_y), floor_div2(ll_x)
         ll_y, ll_x = ceil_div2(ll_y), ceil_div2(ll_x)

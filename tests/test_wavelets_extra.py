@@ -173,3 +173,53 @@ def test_multilevel_haar():
     c = wavedec2(x, "haar", 4)
     rec = waverec2(c, "haar")
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-9)
+
+
+# ------------------------------------------------ review-regression cases
+
+
+def test_to_fix_rounds_half_away_from_zero():
+    # C roundf semantics (fix.h:28-33), not banker's rounding
+    from libdwt_tpu.utils.fix import FIX32, to_fix
+
+    assert int(to_fix(2.5 / FIX32.one)) == 3
+    assert int(to_fix(-2.5 / FIX32.one)) == -3
+
+
+def test_fix_length_one_passthrough():
+    from libdwt_tpu.utils.fix import from_fix, lift_fwd_fix, lift_inv_fix, to_fix
+
+    x = to_fix(jnp.ones(1))
+    s, d = lift_fwd_fix(x, "cdf97")
+    assert s.shape == (1,) and d.shape == (0,)
+    r = lift_inv_fix(s, d, "cdf97")
+    assert abs(float(from_fix(r)[0]) - 1.0) < 1e-3
+
+
+def test_fix_symmetric_step_single_rounding():
+    # op_x32 computes fix32_mul(w, l+r): ONE rounded multiply on the sum
+    from libdwt_tpu.utils.fix import FIX32, fix_mul, lift_fwd_fix, to_fix
+    from libdwt_tpu.models.wavelets import get_wavelet
+
+    rng = np.random.RandomState(0)
+    x = to_fix(jnp.asarray(rng.rand(16).astype(np.float32)))
+    s, d = x[0::2], x[1::2]
+    st = get_wavelet("cdf97").steps[0]  # d-target symmetric step
+    l = s
+    r = jnp.concatenate([s[1:], s[-1:]])
+    want = d + fix_mul(l + r, to_fix(st.coeff))
+    got_s, got_d = lift_fwd_fix(x, "cdf97")
+    # reproduce only the first step: run a one-step wavelet
+    import dataclasses
+
+    w1 = dataclasses.replace(get_wavelet("cdf97"), steps=(st,),
+                             scale_s=None, scale_d=None)
+    _, d1 = lift_fwd_fix(x, w1)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(want))
+
+
+def test_band_rect_j0_detail_raises():
+    from libdwt_tpu.utils.subband import band_rect
+
+    with pytest.raises(ValueError):
+        band_rect(64, 64, 0, "HL")
