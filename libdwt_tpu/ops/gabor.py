@@ -42,6 +42,8 @@ __all__ = [
     "detect_ridges1",
     "detect_ridges2",
     "detect_ridges3",
+    "strongest_ridges",
+    "diff_points",
     "test_signal",
 ]
 
@@ -303,3 +305,74 @@ def test_signal(size: int, type: int = 0) -> np.ndarray:
     else:
         raise ValueError(f"unknown test signal type {type}")
     return out.astype(np.float32)
+
+
+# -------------------------------------------------- blob/peak extraction
+
+
+def strongest_ridges(plane: jax.Array, count: int,
+                     threshold: float = 0.0) -> jax.Array:
+    """Iteratively extract the ``count`` strongest ridge points of an
+    S-transform magnitude plane (spectra_st_get_strongest_ridges,
+    /root/reference/examples/spectra-blobs/spectra-experimental.c:120-180).
+
+    Pipeline: ``detect_ridges1`` on the plane, then ``count`` rounds of
+    global argmax -> record ``(x, y)`` -> damp the ridge image by
+    ``1 - g`` where ``g`` is, per plane row, the S-atom Gaussian
+    envelope of that row's analysis frequency (``sigma = s_sigma(f)``,
+    4-sigma integer support, unit center) placed at the peak column —
+    the matched suppression of ``get_maximum``/``remove_ridge``
+    (spectra-experimental.c:27-118).  The plane stores low frequencies
+    at the bottom (:func:`gabor_st` row ``bins-1-y`` holds bin ``y``),
+    so plane row ``r`` analyses ``f = (bins-r)/bins*0.5`` — the same
+    flip the reference applies by writing ``maxima`` at ``size_y-y-1``
+    (spectra-experimental.c:98-101).
+
+    Returns an ``(count, 2)`` int32 array of ``(x, y)`` positions,
+    strongest first.  Jittable (one fori_loop; static plane shape).
+    """
+    plane = jnp.asarray(plane)
+    if plane.ndim != 2:
+        raise ValueError(f"expected a 2-D plane, got shape {plane.shape}")
+    bins, n = plane.shape
+
+    # static per-row suppression geometry (numpy; rows are few)
+    rows = np.arange(bins)
+    f = (bins - rows) / bins * 0.5
+    sig = np.sqrt(1.0 / (2.0 * f * f))
+    size = np.ceil(1.0 + 2.0 * 4.0 * sig).astype(np.int64)
+    center = size // 2
+    inv_two_sig2 = jnp.asarray((1.0 / (2.0 * sig * sig))[:, None],
+                               plane.dtype)
+    lo = jnp.asarray((-center)[:, None], jnp.int32)       # window start
+    hi = jnp.asarray((size - 1 - center)[:, None], jnp.int32)  # window end
+
+    ridges = detect_ridges1(plane, threshold)
+    xx = jnp.arange(n, dtype=jnp.int32)[None, :]
+
+    def body(i, carry):
+        ridges, points = carry
+        flat = jnp.argmax(ridges)
+        py = (flat // n).astype(jnp.int32)
+        px = (flat % n).astype(jnp.int32)
+        points = points.at[i, 0].set(px).at[i, 1].set(py)
+        d = xx - px
+        g = jnp.exp(-(d.astype(ridges.dtype) ** 2) * inv_two_sig2)
+        inside = (d >= lo) & (d <= hi)
+        ridges = ridges * (1.0 - jnp.where(inside, g, 0.0))
+        return ridges, points
+
+    points0 = jnp.zeros((count, 2), jnp.int32)
+    _, points = jax.lax.fori_loop(0, count, body, (ridges, points0))
+    return points
+
+
+def diff_points(reference: jax.Array, tested: jax.Array) -> jax.Array:
+    """Per-reference-point distance to the nearest tested point
+    (spectra_diff_points,
+    /root/reference/examples/spectra-blobs/spectra-experimental.c:182-215).
+    Both inputs are ``(k, 2)`` coordinate arrays; returns ``(k,)``."""
+    ref = jnp.asarray(reference, jnp.float32)
+    tst = jnp.asarray(tested, jnp.float32)
+    d2 = jnp.sum((ref[:, None, :] - tst[None, :, :]) ** 2, axis=-1)
+    return jnp.sqrt(jnp.min(d2, axis=1))

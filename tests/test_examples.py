@@ -38,6 +38,10 @@ _CASES = {
     "interop_flags.py": ["--size", "48", "--levels", "2"],
     "eaw_demo.py": ["--size", "64", "--levels", "2"],
     "spectra_tf.py": ["--size", "128", "--bins", "16"],
+    "start.py": [],
+    "load.py": ["missing.pgm"],
+    "spectra_blobs.py": ["--n", "256", "--bins", "32", "--components", "3",
+                         "--ridges", "6"],
 }
 
 

@@ -161,3 +161,53 @@ def test_test_signal_sigma_integer_division():
     i = np.arange(100, dtype=np.float64)
     want = np.real(gabor_function(i - 50, 100 // 8, 0.5))
     np.testing.assert_allclose(got, want, atol=0)
+
+
+# --------------------------------------------------- strongest ridges
+
+
+def test_strongest_ridges_recovers_isolated_components():
+    # three isolated Gabor components at known (t, f) must come out as
+    # the three strongest points (spectra-blobs pipeline)
+    # suppression is matched, not exclusive: a strong component's side
+    # lobes may legitimately outrank a weak one (the reference damps by
+    # 1-g too), so recovery is checked within a small top-K, not top-3.
+    # frequencies stay well clear of Nyquist: the f=0.5 S-atom is so
+    # broadband (sigma_f ~ 0.11) that a real signal's +f and -f lines
+    # BOTH land in it, and 2*exp(-(0.5-f)^2/(2*0.11^2)) outranks the
+    # true row's ~1.0 response for any component above f ~ 0.37
+    n, bins = 512, 64
+    truth = []
+    sig = np.zeros(n, np.float64)
+    for k, f in enumerate((0.12, 0.22, 0.32)):
+        t0 = (k + 1) * n // 4
+        sig += np.real(G.gabor_function(np.arange(n) - t0, n / 32.0,
+                                        2 * math.pi * f))
+        truth.append((t0, bins - round(f / 0.5 * bins)))
+    plane = G.gabor_st(sig.astype(np.float32), bins)
+    pts = np.asarray(G.strongest_ridges(plane, 8))
+    assert pts.shape == (8, 2)
+    d = np.asarray(G.diff_points(np.asarray(truth, np.float32), pts))
+    assert (d <= 4.0).all(), (truth, pts.tolist(), d)
+
+
+def test_strongest_ridges_suppression_moves_on():
+    # without suppression the argmax would repeat; all returned points
+    # must be distinct columns for a single-component signal's top-2
+    n, bins = 128, 16
+    sig = np.real(G.gabor_function(np.arange(n) - 64, 8.0, math.pi / 2))
+    plane = G.gabor_st(sig.astype(np.float32), bins)
+    pts = np.asarray(G.strongest_ridges(plane, 4))
+    assert len({(int(x), int(y)) for x, y in pts}) == 4
+
+
+def test_strongest_ridges_rejects_non_2d():
+    with pytest.raises(ValueError):
+        G.strongest_ridges(np.zeros((2, 3, 4), np.float32), 1)
+
+
+def test_diff_points_nearest_distance():
+    ref = np.array([[0, 0], [10, 0]], np.float32)
+    tst = np.array([[3, 4], [10, 1]], np.float32)
+    d = np.asarray(G.diff_points(ref, tst))
+    np.testing.assert_allclose(d, [5.0, 1.0], atol=1e-6)
