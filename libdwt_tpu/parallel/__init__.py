@@ -3,6 +3,7 @@
 from libdwt_tpu.parallel.sharded import (
     HALO,
     make_mesh_2d,
+    make_mesh_blocks,
     sharded_dwt2_level,
     sharded_idwt2_level,
     sharded_wavedec2,
@@ -14,6 +15,7 @@ from libdwt_tpu.parallel.sharded import (
 __all__ = [
     "HALO",
     "make_mesh_2d",
+    "make_mesh_blocks",
     "sharded_dwt2_level",
     "sharded_idwt2_level",
     "sharded_wavedec2",

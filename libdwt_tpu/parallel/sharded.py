@@ -18,6 +18,12 @@ single-loop cores make per tile (/root/reference/src/dwt-sym.c:434-534).
 
 Axes convention: images are (..., H, W); the sharded ("space") axis is
 rows (-2).  Batch axes shard trivially over the "data" mesh axis.
+Passing ``col_axis`` shards W as well (2-D block sharding over a
+('data', rows, cols) mesh — the shard_map analogue of the reference's
+BLOCKS traversal order, /root/reference/src/dwt-core.h:76-99): halo
+exchange then runs in two phases — rows first, then columns of the
+row-extended block — so corner samples from diagonal neighbours arrive
+without any dedicated diagonal collective.
 """
 from __future__ import annotations
 
@@ -39,6 +45,7 @@ __all__ = [
     "sharded_wavedec3",
     "sharded_waverec3",
     "make_mesh_2d",
+    "make_mesh_blocks",
 ]
 
 #: signal-domain halo rows exchanged per level (enough for CDF 9/7's
@@ -66,6 +73,28 @@ def make_mesh_2d(n_data: int, n_space: int, devices=None) -> Mesh:
     )
 
 
+def make_mesh_blocks(n_data: int, n_rows: int, n_cols: int, devices=None) -> Mesh:
+    """A ('data', 'rows', 'cols') mesh: batch parallelism x 2-D spatial
+    block sharding — the shard_map analogue of the reference's BLOCKS
+    traversal order (/root/reference/src/dwt-core.h:76-99) for frames
+    too large (or too square) to scale by row sharding alone."""
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    need = n_data * n_rows * n_cols
+    if len(devices) < need:
+        raise ValueError(
+            f"make_mesh_blocks({n_data}, {n_rows}, {n_cols}) needs {need} "
+            f"devices, have {len(devices)}"
+        )
+    import numpy as np
+
+    return Mesh(
+        np.array(devices[:need]).reshape(n_data, n_rows, n_cols),
+        axis_names=("data", "rows", "cols"),
+    )
+
+
 def _check_mirror_safe(wavelet):
     """The edge shards fill their halo with the PHYSICAL whole-point
     mirror; that reproduces lift_fwd/lift_inv's per-step neighbour
@@ -87,31 +116,43 @@ def _check_mirror_safe(wavelet):
 # ------------------------------------------------------------- halo helpers
 
 
-def _exchange_rows_fwd(x: jax.Array, axis_name: str) -> jax.Array:
-    """Extend a local row-block by HALO rows on each side.
+def _exchange_fwd(x: jax.Array, axis_name: str, axis: int = -2) -> jax.Array:
+    """Extend a local block by HALO signal samples on each side of
+    ``axis``.
 
-    Interior shards receive neighbours' boundary rows over the mesh
+    Interior shards receive neighbours' boundary samples over the mesh
     interconnect; edge shards fill the halo with the whole-point mirror
-    of their own rows (x[-m] := x[m]), reproducing the reference's
+    of their own samples (x[-m] := x[m]), reproducing the reference's
     symmetric border extension (/root/reference/src/dwt-sym.c:434-450).
     """
     n_dev = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    down_perm = [(i, i + 1) for i in range(n_dev - 1)]  # my rows -> next shard
-    up_perm = [(i + 1, i) for i in range(n_dev - 1)]  # my rows -> prev shard
-    from_above = jax.lax.ppermute(x[..., -HALO:, :], axis_name, down_perm)
-    from_below = jax.lax.ppermute(x[..., :HALO, :], axis_name, up_perm)
-    top_mirror = x[..., 1 : HALO + 1, :][..., ::-1, :]
-    bot_mirror = x[..., -HALO - 1 : -1, :][..., ::-1, :]
+    down_perm = [(i, i + 1) for i in range(n_dev - 1)]  # my block -> next shard
+    up_perm = [(i + 1, i) for i in range(n_dev - 1)]  # my block -> prev shard
+    L = x.shape[axis]
+
+    def take(s, e):
+        return jax.lax.slice_in_dim(x, s, e, axis=axis)
+
+    from_above = jax.lax.ppermute(take(L - HALO, L), axis_name, down_perm)
+    from_below = jax.lax.ppermute(take(0, HALO), axis_name, up_perm)
+    top_mirror = jnp.flip(take(1, HALO + 1), axis=axis)
+    bot_mirror = jnp.flip(take(L - HALO - 1, L - 1), axis=axis)
     top = jnp.where(idx == 0, top_mirror, from_above)
     bot = jnp.where(idx == n_dev - 1, bot_mirror, from_below)
-    return jnp.concatenate([top, x, bot], axis=-2)
+    return jnp.concatenate([top, x, bot], axis=axis)
+
+
+def _exchange_rows_fwd(x: jax.Array, axis_name: str) -> jax.Array:
+    """Row-axis (-2) specialization of :func:`_exchange_fwd`."""
+    return _exchange_fwd(x, axis_name, axis=-2)
 
 
 def _exchange_channels_inv(
-    s: jax.Array, d: jax.Array, axis_name: str, ch: int = CH
+    s: jax.Array, d: jax.Array, axis_name: str, ch: int = CH, axis: int = -2
 ) -> Tuple[jax.Array, jax.Array]:
-    """Extend local low/high channel blocks by ``ch`` rows each side.
+    """Extend local low/high channel blocks by ``ch`` samples each side
+    of ``axis``.
 
     Channel-domain whole-point mirror (derived from x[-k] = x[k] with
     s[i] = x[2i], d[i] = x[2i+1], global level length even):
@@ -124,22 +165,21 @@ def _exchange_channels_inv(
     up_perm = [(i + 1, i) for i in range(n_dev - 1)]
 
     def ext(c, top_mirror, bot_mirror):
-        from_above = jax.lax.ppermute(c[..., -ch:, :], axis_name, down_perm)
-        from_below = jax.lax.ppermute(c[..., :ch, :], axis_name, up_perm)
+        L = c.shape[axis]
+        lo = jax.lax.slice_in_dim(c, 0, ch, axis=axis)
+        hi = jax.lax.slice_in_dim(c, L - ch, L, axis=axis)
+        from_above = jax.lax.ppermute(hi, axis_name, down_perm)
+        from_below = jax.lax.ppermute(lo, axis_name, up_perm)
         top = jnp.where(idx == 0, top_mirror, from_above)
         bot = jnp.where(idx == n_dev - 1, bot_mirror, from_below)
-        return jnp.concatenate([top, c, bot], axis=-2)
+        return jnp.concatenate([top, c, bot], axis=axis)
 
-    s_ext = ext(
-        s,
-        s[..., 1 : ch + 1, :][..., ::-1, :],
-        s[..., -ch:, :][..., ::-1, :],
-    )
-    d_ext = ext(
-        d,
-        d[..., 0:ch, :][..., ::-1, :],
-        d[..., -ch - 1 : -1, :][..., ::-1, :],
-    )
+    def rev(c, a, b):
+        return jnp.flip(jax.lax.slice_in_dim(c, a, b, axis=axis), axis=axis)
+
+    Ls, Ld = s.shape[axis], d.shape[axis]
+    s_ext = ext(s, rev(s, 1, ch + 1), rev(s, Ls - ch, Ls))
+    d_ext = ext(d, rev(d, 0, ch), rev(d, Ld - ch - 1, Ld - 1))
     return s_ext, d_ext
 
 
@@ -169,6 +209,53 @@ def _level_fwd_local(ll, wavelet, axis_name):
     ll2, lh = col(l)
     hl, hh = col(h)
     return ll2, hl, lh, hh
+
+
+def _level_fwd_local_blocks(ll, wavelet, row_axis, col_axis):
+    """One forward level on a 2-D-block shard: two-phase halo exchange
+    (rows first, then columns OF THE ROW-EXTENDED block, so corner
+    samples from diagonal neighbours ride the second phase), then the
+    same crop-to-interior lifting as the row-sharded path on both axes.
+    """
+    ext = _exchange_fwd(ll, row_axis, axis=-2)
+    ext = _exchange_fwd(ext, col_axis, axis=-1)
+    off = HALO // 2
+    keep_x = ll.shape[-1] // 2
+    l, h = lift_fwd(ext, wavelet, axis=-1)
+    l = l[..., off : off + keep_x]
+    h = h[..., off : off + keep_x]
+    keep_y = ll.shape[-2] // 2
+
+    def col(a):
+        lo, hi = lift_fwd(a, wavelet, axis=-2)
+        return (lo[..., off : off + keep_y, :], hi[..., off : off + keep_y, :])
+
+    ll2, lh = col(l)
+    hl, hh = col(h)
+    return ll2, hl, lh, hh
+
+
+def _level_inv_local_blocks(ll, hl, lh, hh, wavelet, row_axis, col_axis):
+    """One inverse level on a 2-D-block shard: channel-halo exchange
+    along columns first (x-low bands ll/lh vs x-high hl/hh, stacked
+    along rows so it is ONE collective pair), then along rows on the
+    column-extended arrays (corners ride the second phase), then the
+    usual inverse column+row lifting cropped to the interior."""
+    hy = ll.shape[-2]
+    lo_x = jnp.concatenate([ll, lh], axis=-2)
+    hi_x = jnp.concatenate([hl, hh], axis=-2)
+    lo_x, hi_x = _exchange_channels_inv(lo_x, hi_x, col_axis, axis=-1)
+    ll, lh = lo_x[..., :hy, :], lo_x[..., hy:, :]
+    hl, hh = hi_x[..., :hy, :], hi_x[..., hy:, :]
+    w = ll.shape[-1]  # local x channels + 2*CH halo
+    s = jnp.concatenate([ll, hl], axis=-1)
+    d = jnp.concatenate([lh, hh], axis=-1)
+    s_ext, d_ext = _exchange_channels_inv(s, d, row_axis, axis=-2)
+    x = lift_inv(s_ext, d_ext, wavelet, axis=-2)
+    x = x[..., 2 * CH : 2 * CH + 2 * hy, :]
+    out = lift_inv(x[..., :w], x[..., w:], wavelet, axis=-1)
+    keep_x = 2 * (w - 2 * CH)
+    return out[..., 2 * CH : 2 * CH + keep_x]
 
 
 def _level_fwd_local_fused(ll, wavelet, axis_name, interpret):
@@ -221,8 +308,8 @@ def _check_sharded_sizes(h: int, n_space: int, level: int,
                          use_fused: bool = False):
     if h % (n_space * (1 << level)) != 0:
         raise ValueError(
-            f"sharded transform needs H ({h}) divisible by "
-            f"n_space*2^level ({n_space}*{1 << level})"
+            f"sharded transform needs the sharded extent ({h}) divisible "
+            f"by n_shards*2^level ({n_space}*{1 << level})"
         )
     # the fused inverse's channel mirror slices FCH+1 = 5 local rows
     # (ops/fused.CH = 4); the jnp path needs HALO = 4
@@ -243,6 +330,7 @@ def sharded_wavedec2(
     mesh: Mesh,
     space_axis: str = "space",
     data_axis: Optional[str] = "data",
+    col_axis: Optional[str] = None,
     use_fused: bool = False,
     interpret: bool = False,
 ):
@@ -253,14 +341,30 @@ def sharded_wavedec2(
     as :func:`libdwt_tpu.wavedec2` — [LL_J, (HL_J, LH_J, HH_J), ...] —
     with every array sharded identically to the input.
 
+    ``col_axis`` additionally shards W over that mesh axis (2-D block
+    sharding over a ('data', rows, cols) mesh — see
+    :func:`make_mesh_blocks`); halo exchange then runs in two phases so
+    corner samples from diagonal neighbours arrive without a dedicated
+    diagonal collective.
+
     ``use_fused=True`` runs the per-shard work through the single-loop
     Pallas strip kernel (one VMEM residency per level per shard) after
-    the halo exchange; needs 2-D local blocks with even row counts.
+    the halo exchange; needs 2-D local blocks with even row counts
+    (row sharding only — the strip kernel's lane borders assume true
+    signal edges).
     """
     wavelet = get_wavelet(wavelet)
     _check_mirror_safe(wavelet)
     n_space = mesh.shape[space_axis]
     _check_sharded_sizes(x.shape[-2], n_space, level, use_fused)
+    if col_axis is not None:
+        if use_fused:
+            raise ValueError(
+                "use_fused supports row sharding only (the strip "
+                "kernel's lane borders assume true signal edges); "
+                "drop col_axis or use_fused"
+            )
+        _check_sharded_sizes(x.shape[-1], mesh.shape[col_axis], level)
     if use_fused and x.ndim != 2:
         raise ValueError(
             "use_fused needs a 2-D input (batched arrays run the jnp "
@@ -269,13 +373,17 @@ def sharded_wavedec2(
 
     nbatch = x.ndim - 2
     batch_spec = (data_axis,) + (None,) * (nbatch - 1) if nbatch else ()
-    spec = P(*batch_spec, space_axis, None)
+    spec = P(*batch_spec, space_axis, col_axis)
 
     def local_fn(xl):
         coeffs = []
         ll = xl
         for _ in range(level):
-            if use_fused and ll.ndim == 2:
+            if col_axis is not None:
+                ll, hl, lh, hh = _level_fwd_local_blocks(
+                    ll, wavelet, space_axis, col_axis
+                )
+            elif use_fused and ll.ndim == 2:
                 ll, hl, lh, hh = _level_fwd_local_fused(
                     ll, wavelet, space_axis, interpret
                 )
@@ -300,6 +408,7 @@ def sharded_waverec2(
     mesh: Mesh,
     space_axis: str = "space",
     data_axis: Optional[str] = "data",
+    col_axis: Optional[str] = None,
     use_fused: bool = False,
     interpret: bool = False,
 ):
@@ -307,7 +416,8 @@ def sharded_waverec2(
 
     ``use_fused=True`` runs the per-shard inverse through the
     single-loop Pallas strip kernel after a channel-halo exchange;
-    needs 2-D local blocks with even channel row counts.
+    needs 2-D local blocks with even channel row counts (row sharding
+    only, like the forward).
     """
     wavelet = get_wavelet(wavelet)
     _check_mirror_safe(wavelet)
@@ -318,8 +428,17 @@ def sharded_waverec2(
             "use_fused needs a 2-D pyramid (batched arrays run the jnp "
             "path; drop use_fused or vmap outside the mesh)"
         )
+    if col_axis is not None and use_fused:
+        raise ValueError(
+            "use_fused supports row sharding only (the strip kernel's "
+            "lane borders assume true signal edges); drop col_axis or "
+            "use_fused"
+        )
     _check_sharded_sizes(ll.shape[-2] << level, mesh.shape[space_axis],
                          level, use_fused)
+    if col_axis is not None:
+        _check_sharded_sizes(ll.shape[-1] << level, mesh.shape[col_axis],
+                             level)
     ch = ll.shape[-2]
     for lvl, (hl, lh, hh) in enumerate(coeffs[1:]):
         if not (hl.shape == lh.shape == hh.shape
@@ -331,13 +450,17 @@ def sharded_waverec2(
         ch *= 2
     nbatch = ll.ndim - 2
     batch_spec = (data_axis,) + (None,) * (nbatch - 1) if nbatch else ()
-    spec = P(*batch_spec, space_axis, None)
+    spec = P(*batch_spec, space_axis, col_axis)
     in_specs = [spec] + [(spec, spec, spec)] * level
 
     def local_fn(cs):
         ll = cs[0]
         for hl, lh, hh in cs[1:]:
-            if use_fused and ll.ndim == 2:
+            if col_axis is not None:
+                ll = _level_inv_local_blocks(
+                    ll, hl, lh, hh, wavelet, space_axis, col_axis
+                )
+            elif use_fused and ll.ndim == 2:
                 ll = _level_inv_local_fused(
                     ll, hl, lh, hh, wavelet, space_axis, interpret
                 )
@@ -480,18 +603,20 @@ def sharded_waverec3(
 
 
 def sharded_dwt2_level(x, wavelet="cdf97", *, mesh, space_axis="space",
-                       data_axis="data", use_fused=False, interpret=False):
+                       data_axis="data", col_axis=None, use_fused=False,
+                       interpret=False):
     """Single-level sharded 2-D transform -> (LL, HL, LH, HH)."""
     c = sharded_wavedec2(
         x, wavelet, 1, mesh=mesh, space_axis=space_axis,
-        data_axis=data_axis, use_fused=use_fused, interpret=interpret,
+        data_axis=data_axis, col_axis=col_axis, use_fused=use_fused,
+        interpret=interpret,
     )
     ll, (hl, lh, hh) = c[0], c[1]
     return ll, hl, lh, hh
 
 
 def sharded_idwt2_level(ll, hl, lh, hh, wavelet="cdf97", *, mesh,
-                        space_axis="space", data_axis="data",
+                        space_axis="space", data_axis="data", col_axis=None,
                         use_fused=False, interpret=False):
     """Inverse of :func:`sharded_dwt2_level`."""
     return sharded_waverec2(
@@ -500,6 +625,7 @@ def sharded_idwt2_level(ll, hl, lh, hh, wavelet="cdf97", *, mesh,
         mesh=mesh,
         space_axis=space_axis,
         data_axis=data_axis,
+        col_axis=col_axis,
         use_fused=use_fused,
         interpret=interpret,
     )

@@ -275,3 +275,102 @@ def test_inverse_validates_pytree():
 def test_make_mesh_2d_rejects_too_few_devices():
     with pytest.raises(ValueError, match="devices"):
         make_mesh_2d(2, 8)
+
+
+# ----------------------------------------------------- 2-D block sharding
+
+
+from libdwt_tpu.parallel import make_mesh_blocks  # noqa: E402
+
+
+BLOCK_MESHES = [(1, 2, 4), (2, 2, 2), (1, 4, 2)]
+
+
+@pytest.mark.parametrize("n_data,n_rows,n_cols", BLOCK_MESHES)
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53"])
+def test_blocks_forward_matches_oracle(n_data, n_rows, n_cols, wavelet):
+    mesh = make_mesh_blocks(n_data, n_rows, n_cols)
+    level = 2
+    h = n_rows * (1 << level) * 8
+    w = n_cols * (1 << level) * 8
+    x = jnp.asarray(make_test_image(h, w, dtype=np.float32))
+    want = wavedec2(x, wavelet, level)
+    got = sharded_wavedec2(x, wavelet, level, mesh=mesh,
+                           space_axis="rows", col_axis="cols")
+    _tree_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("wavelet", ["cdf97", "cdf53"])
+def test_blocks_roundtrip(wavelet):
+    mesh = make_mesh_blocks(1, 2, 4)
+    level = 2
+    h, w = 2 * 4 * 8, 4 * 4 * 8
+    x = jnp.asarray(make_test_image(h, w, dtype=np.float32))
+    coeffs = sharded_wavedec2(x, wavelet, level, mesh=mesh,
+                              space_axis="rows", col_axis="cols")
+    rec = sharded_waverec2(coeffs, wavelet, mesh=mesh,
+                           space_axis="rows", col_axis="cols")
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x),
+                               atol=1e-3, rtol=0)
+
+
+def test_blocks_inverse_matches_oracle():
+    """Block-sharded inverse applied to oracle coefficients."""
+    from libdwt_tpu import waverec2 as wr2
+
+    mesh = make_mesh_blocks(1, 2, 4)
+    level = 2
+    h, w = 2 * 4 * 8, 4 * 4 * 8
+    x = jnp.asarray(make_test_image(h, w, dtype=np.float32))
+    coeffs = wavedec2(x, "cdf97", level)
+    rec = sharded_waverec2(coeffs, "cdf97", mesh=mesh,
+                           space_axis="rows", col_axis="cols")
+    want = wr2(coeffs, "cdf97")
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(want),
+                               atol=1e-4, rtol=0)
+
+
+def test_blocks_batched_int_bitexact():
+    """Batch over 'data', 2-D blocks over rows x cols, int reversible."""
+    mesh = make_mesh_blocks(2, 2, 2)
+    level = 1
+    h, w = 2 * 2 * 8, 2 * 2 * 8
+    imgs = np.stack([
+        make_test_image(h, w, dtype=np.int32),
+        make_test_image(h, w, rand=1, dtype=np.int32),
+    ])
+    x = jnp.asarray(imgs)
+    want = wavedec2(x, "cdf53", level)
+    got = sharded_wavedec2(x, "cdf53", level, mesh=mesh,
+                           space_axis="rows", col_axis="cols")
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    rec = sharded_waverec2(got, "cdf53", mesh=mesh,
+                           space_axis="rows", col_axis="cols")
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(x))
+
+
+def test_blocks_rejects_use_fused():
+    mesh = make_mesh_blocks(1, 2, 4)
+    x = jnp.asarray(make_test_image(64, 128, dtype=np.float32))
+    with pytest.raises(ValueError, match="row sharding only"):
+        sharded_wavedec2(x, "cdf97", 1, mesh=mesh, space_axis="rows",
+                         col_axis="cols", use_fused=True)
+    coeffs = wavedec2(x, "cdf97", 1)
+    with pytest.raises(ValueError, match="row sharding only"):
+        sharded_waverec2(coeffs, "cdf97", mesh=mesh, space_axis="rows",
+                         col_axis="cols", use_fused=True)
+
+
+def test_blocks_width_divisibility_enforced():
+    mesh = make_mesh_blocks(1, 2, 4)
+    x = jnp.asarray(make_test_image(64, 72, dtype=np.float32))  # 72 % 16 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_wavedec2(x, "cdf97", 2, mesh=mesh, space_axis="rows",
+                         col_axis="cols")
+
+
+def test_make_mesh_blocks_rejects_too_few_devices():
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh_blocks(2, 2, 4)
