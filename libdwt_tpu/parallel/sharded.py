@@ -474,6 +474,93 @@ def sharded_waverec2(
     )(coeffs)
 
 
+def _level3_fwd_local_blocks(low, wavelet, z_axis, y_axis):
+    """One forward 3-D level on a (z, y)-block shard: two-phase halo
+    exchange (z first, then y of the z-extended block, so corners from
+    diagonal neighbours ride the second phase), local x lifting, then
+    y and z lifting each cropped to the shard interior."""
+    keep_y = low.shape[-2] // 2
+    keep_z = low.shape[-3] // 2
+    off = HALO // 2
+    ext = _exchange_fwd(low, z_axis, axis=-3)
+    ext = _exchange_fwd(ext, y_axis, axis=-2)
+    bands = {"": ext}
+    new = {}
+    for name, arr in bands.items():  # x pass: local
+        lo, hi = lift_fwd(arr, wavelet, axis=-1)
+        new["L" + name] = lo
+        new["H" + name] = hi
+    bands = new
+    new = {}
+    for name, arr in bands.items():  # y pass: crop to interior channels
+        lo, hi = lift_fwd(arr, wavelet, axis=-2)
+        new["L" + name] = lo[..., off : off + keep_y, :]
+        new["H" + name] = hi[..., off : off + keep_y, :]
+    bands = new
+    new = {}
+    for name, arr in bands.items():  # z pass: crop to interior channels
+        lo, hi = lift_fwd(arr, wavelet, axis=-3)
+        new["L" + name] = lo[..., off : off + keep_z, :, :]
+        new["H" + name] = hi[..., off : off + keep_z, :, :]
+    return new
+
+
+def _level3_inv_local_blocks(full, wavelet, z_axis, y_axis):
+    """One inverse 3-D level on a (z, y)-block shard.
+
+    Band names are (z, y, x) role triples.  The y channel halos are
+    exchanged FIRST, on the raw bands (the y channel structure is
+    separable, so extending y channels commutes with the z inverse);
+    the z exchange then runs on the y-extended arrays so diagonal
+    corners arrive without a dedicated collective.  Each axis costs one
+    stacked collective pair.
+    """
+    # ---- y channel exchange (pair by the y role, stacked along x)
+    names_y = sorted({n[0] + n[2] for n in full})  # (z, x) suffixes
+    wloc = next(iter(full.values())).shape[-1]
+    s_y = jnp.concatenate(
+        [full[zx[0] + "L" + zx[1]] for zx in names_y], axis=-1
+    )
+    d_y = jnp.concatenate(
+        [full[zx[0] + "H" + zx[1]] for zx in names_y], axis=-1
+    )
+    s_y, d_y = _exchange_channels_inv(s_y, d_y, y_axis, axis=-2)
+    for k, zx in enumerate(names_y):
+        full[zx[0] + "L" + zx[1]] = s_y[..., k * wloc : (k + 1) * wloc]
+        full[zx[0] + "H" + zx[1]] = d_y[..., k * wloc : (k + 1) * wloc]
+
+    # ---- z channel exchange + inverse z lifting (pair by the z role)
+    names_z = sorted({n[1:] for n in full})  # (y, x) suffixes
+    s_z = jnp.concatenate([full["L" + n] for n in names_z], axis=-1)
+    d_z = jnp.concatenate([full["H" + n] for n in names_z], axis=-1)
+    # keep = 2x the PRE-extension z channels: the z halo exists only
+    # inside the exchanged copies (the y halo, by contrast, persists on
+    # the band arrays from the stage above)
+    keep_z = 2 * full["L" + names_z[0]].shape[-3]
+    s_z, d_z = _exchange_channels_inv(s_z, d_z, z_axis, axis=-3)
+    rec = lift_inv(s_z, d_z, wavelet, axis=-3)
+    rec = rec[..., 2 * CH : 2 * CH + keep_z, :, :]
+    full = {
+        n: rec[..., k * wloc : (k + 1) * wloc]
+        for k, n in enumerate(names_z)
+    }
+
+    # ---- inverse y lifting on the halo-extended channels (pair by y)
+    names_x = sorted({n[1:] for n in full})  # x suffixes
+    s = jnp.concatenate([full["L" + n] for n in names_x], axis=-1)
+    d = jnp.concatenate([full["H" + n] for n in names_x], axis=-1)
+    rec = lift_inv(s, d, wavelet, axis=-2)
+    keep_y = 2 * (s.shape[-2] - 2 * CH)
+    rec = rec[..., 2 * CH : 2 * CH + keep_y, :]
+    full = {
+        n: rec[..., k * wloc : (k + 1) * wloc]
+        for k, n in enumerate(names_x)
+    }
+
+    # ---- inverse x lifting: local
+    return lift_inv(full["L"], full["H"], wavelet, axis=-1)
+
+
 def sharded_wavedec3(
     x: jax.Array,
     wavelet="cdf97",
@@ -482,6 +569,7 @@ def sharded_wavedec3(
     mesh: Mesh,
     space_axis: str = "space",
     data_axis: Optional[str] = "data",
+    col_axis: Optional[str] = None,
 ):
     """Multi-level 3-D MRA sharded over the z (depth) axis.
 
@@ -492,15 +580,41 @@ def sharded_wavedec3(
     multi-host decomposition absent from the reference's 3-D transforms
     (/root/reference/src/volume-dwt.c).  Returns the wavedec3 pytree:
     [LLL_J, bands_J, ..., bands_1] with 7-band dicts.
+
+    ``col_axis`` additionally shards Y over that mesh axis ((z, y)
+    block sharding for volumes whose depth alone cannot feed the mesh);
+    halo exchange then runs in two phases per level, z first then y.
     """
     wavelet = get_wavelet(wavelet)
     _check_mirror_safe(wavelet)
     n_space = mesh.shape[space_axis]
     _check_sharded_sizes(x.shape[-3], n_space, level)
+    if col_axis is not None:
+        _check_sharded_sizes(x.shape[-2], mesh.shape[col_axis], level)
 
     nbatch = x.ndim - 3
     batch_spec = (data_axis,) + (None,) * (nbatch - 1) if nbatch else ()
-    spec = P(*batch_spec, space_axis, None, None)
+    spec = P(*batch_spec, space_axis, col_axis, None)
+
+    if col_axis is not None:
+
+        def local_fn(xl):
+            coeffs = []
+            low = xl
+            for _ in range(level):
+                bands = _level3_fwd_local_blocks(
+                    low, wavelet, space_axis, col_axis
+                )
+                low = bands.pop("LLL")
+                coeffs.append(bands)
+            return [low] + coeffs[::-1]
+
+        band_spec = {k: spec for k in
+                     ("LLH", "LHL", "LHH", "HLL", "HLH", "HHL", "HHH")}
+        out_specs = [spec] + [band_spec] * level
+        return jax.shard_map(
+            local_fn, mesh=mesh, in_specs=spec, out_specs=out_specs
+        )(x)
 
     def local_fn(xl):
         coeffs = []
@@ -548,20 +662,41 @@ def sharded_waverec3(
     mesh: Mesh,
     space_axis: str = "space",
     data_axis: Optional[str] = "data",
+    col_axis: Optional[str] = None,
 ):
-    """Inverse of :func:`sharded_wavedec3`."""
+    """Inverse of :func:`sharded_wavedec3` (same sharding convention;
+    ``col_axis`` mirrors the forward's (z, y) block sharding)."""
     wavelet = get_wavelet(wavelet)
     _check_mirror_safe(wavelet)
     level = len(coeffs) - 1
     low = coeffs[0]
     _check_sharded_sizes(low.shape[-3] << level, mesh.shape[space_axis],
                          level)
+    if col_axis is not None:
+        _check_sharded_sizes(low.shape[-2] << level, mesh.shape[col_axis],
+                             level)
     nbatch = low.ndim - 3
     batch_spec = (data_axis,) + (None,) * (nbatch - 1) if nbatch else ()
-    spec = P(*batch_spec, space_axis, None, None)
+    spec = P(*batch_spec, space_axis, col_axis, None)
     band_spec = {k: spec for k in
                  ("LLH", "LHL", "LHH", "HLL", "HLH", "HHL", "HHH")}
     in_specs = [spec] + [band_spec] * level
+
+    if col_axis is not None:
+
+        def local_fn(cs):
+            low = cs[0]
+            for bands in cs[1:]:
+                full = dict(bands)
+                full["LLL"] = low
+                low = _level3_inv_local_blocks(
+                    full, wavelet, space_axis, col_axis
+                )
+            return low
+
+        return jax.shard_map(
+            local_fn, mesh=mesh, in_specs=(in_specs,), out_specs=spec
+        )(coeffs)
 
     def local_fn(cs):
         low = cs[0]
