@@ -147,6 +147,82 @@ def main():
         print(f"# efficiency at {results[-1][0]} shards: "
               f"{results[-1][2]*100:.0f}%", file=sys.stderr)
 
+    # ---- 2-D block meshes (rows x cols): same protocol and gate over
+    # the two-axis halo exchange (sharded_wavedec2 col_axis path)
+    from libdwt_tpu.parallel import make_mesh_blocks
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    for n_rows, n_cols in ((2, 2), (2, 4), (4, 2)):
+        if n_rows * n_cols > n_dev:
+            continue
+        if (args.height % (n_rows * (1 << args.levels))
+                or args.width % (n_cols * (1 << args.levels))):
+            continue
+        bmesh = make_mesh_blocks(1, n_rows, n_cols)
+        sharding = NamedSharding(bmesh, P(None, "rows", "cols"))
+        stacks = {
+            k: jax.device_put(
+                jnp.asarray(
+                    rng.rand(k, args.height, args.width).astype(np.float32)
+                ),
+                sharding,
+            )
+            for k in (ka, kb)
+        }
+
+        def bchain(stack, m=bmesh):
+            def body(_, x):
+                s, _tree = _checksummed(
+                    sharded_wavedec2(x, "cdf97", args.levels, mesh=m,
+                                     space_axis="rows", col_axis="cols")
+                )
+                return None, s
+
+            return jnp.sum(jax.lax.scan(body, None, stack)[1])
+
+        fn = jax.jit(bchain)
+        for k in (ka, kb):
+            float(jax.device_get(fn(stacks[k])))
+        best = {ka: float("inf"), kb: float("inf")}
+        for _ in range(args.trials):
+            for k in (ka, kb):
+                t0 = time.perf_counter()
+                out = fn(stacks[k])
+                float(jax.device_get(out))
+                best[k] = min(best[k], time.perf_counter() - t0)
+        slope = (best[kb] - best[ka]) / (kb - ka)
+        upper = best[kb] / kb
+        secs = slope if 0.05 * upper < slope <= upper else upper
+
+        from libdwt_tpu.ops.separable import wavedec2 as sep_wavedec2
+
+        x0 = stacks[ka][0]
+        got = jax.jit(
+            lambda a, m=bmesh: sharded_wavedec2(
+                a, "cdf97", args.levels, mesh=m,
+                space_axis="rows", col_axis="cols",
+            )
+        )(x0)
+        want = jax.jit(lambda a: sep_wavedec2(a, "cdf97", args.levels))(x0)
+        diffs = [
+            float(jnp.max(jnp.abs(g - w)))
+            for g, w in zip(jax.tree_util.tree_leaves(got),
+                            jax.tree_util.tree_leaves(want))
+        ]
+        ok = max(diffs) <= 5e-4
+        mpix = args.height * args.width / secs / 1e6
+        eff = mpix / (base * n_rows * n_cols) if base else float("nan")
+        print(json.dumps({
+            "metric": "sharded_wavedec2_scaling",
+            "mesh": [n_rows, n_cols],
+            "value": round(mpix, 1),
+            "unit": "Mpix/s",
+            "efficiency": round(eff, 3),
+            "oracle_max_diff": round(max(diffs), 8),
+            "gate_ok": ok,
+            "virtual": virtual,
+        }))
+
 
 if __name__ == "__main__":
     main()
