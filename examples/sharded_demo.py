@@ -1,7 +1,10 @@
 """Multi-chip sharded transform on a virtual device mesh.
 
 Demonstrates the distributed path (absent from the reference, which is
-single-process): row-sharded 2-D MRA with ppermute halo exchange.
+single-process): row-sharded 2-D MRA with ppermute halo exchange, then
+the same frame block-sharded over a (rows, cols) mesh (the shard_map
+analogue of the reference's BLOCKS traversal order,
+/root/reference/src/dwt-core.h:76-99).
 Run with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 for 8 virtual devices, or on a real multi-chip TPU slice.
 """
@@ -54,6 +57,26 @@ def main():
     rec = step(x)
     err = float(jnp.abs(rec - x).max())
     print(f"mesh {dict(mesh.shape)} image {x.shape} "
+          f"J={args.levels}: round-trip err {err:.2e}")
+
+    # the same frame over a 2x4 (rows x cols) block mesh
+    from libdwt_tpu.parallel import make_mesh_blocks
+
+    bmesh = make_mesh_blocks(1, 2, 4)
+    wb = 4 * (1 << args.levels) * max(8, args.width // (4 * (1 << args.levels)))
+    hb = 2 * (1 << args.levels) * 8
+    xb = jnp.asarray(test_image(hb, wb, dtype=np.float32))
+
+    @jax.jit
+    def block_step(a):
+        c = sharded_wavedec2(a, "cdf97", args.levels, mesh=bmesh,
+                             space_axis="rows", col_axis="cols")
+        return sharded_waverec2(c, "cdf97", mesh=bmesh,
+                                space_axis="rows", col_axis="cols")
+
+    rec = block_step(xb)
+    err = float(jnp.abs(rec - xb).max())
+    print(f"block mesh {dict(bmesh.shape)} image {xb.shape} "
           f"J={args.levels}: round-trip err {err:.2e}")
 
 

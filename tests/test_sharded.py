@@ -19,6 +19,11 @@ from libdwt_tpu.parallel import (
 )
 from libdwt_tpu.utils.testimg import test_image as make_test_image
 
+# every test in this module jits a shard_map program over the virtual
+# 8-device mesh — multi-minute compiles that dominate the suite's wall
+# time; excluded from the fast lane (`-m 'not slow'`), kept in the gate
+pytestmark = pytest.mark.slow
+
 
 def _tree_allclose(a, b, atol):
     la = jax.tree_util.tree_leaves(a)

@@ -102,6 +102,7 @@ def test_small_strip_z_clamps_to_halo():
     assert float(jnp.abs(rec - v).max()) < 3e-6
 
 
+@pytest.mark.slow
 def test_supported_gate_respects_itemsize():
     # the gate must size tiles with the real dtype: if it approves a
     # geometry at a given itemsize, the kernel must accept it
