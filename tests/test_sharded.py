@@ -448,3 +448,28 @@ def test_blocks3d_y_divisibility_enforced():
     with pytest.raises(ValueError, match="divisible"):
         sharded_wavedec3(v, "cdf97", 1, mesh=mesh,
                          space_axis="rows", col_axis="cols")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_blocks_geometry_fuzz(seed):
+    """Seeded geometry fuzz over mesh factorization, level count, odd
+    widths-of-multiples and wavelet — the static margin arithmetic of
+    the two-phase exchange must match the oracle everywhere."""
+    rng = np.random.RandomState(100 + seed)
+    n_rows, n_cols = [(2, 2), (2, 4), (4, 2), (2, 2)][seed]
+    level = int(rng.randint(1, 3))
+    wavelet = ["cdf97", "cdf53", "interp53", "cdf97"][seed]
+    # sharded extents: exact multiples of n*2^level times a random
+    # factor large enough for HALO at the deepest level
+    h = n_rows * (1 << level) * int(rng.randint(4, 9)) * 2
+    w = n_cols * (1 << level) * int(rng.randint(4, 9)) * 2
+    mesh = make_mesh_blocks(1, n_rows, n_cols)
+    x = jnp.asarray(rng.randn(h, w).astype(np.float32))
+    got = sharded_wavedec2(x, wavelet, level, mesh=mesh,
+                           space_axis="rows", col_axis="cols")
+    want = wavedec2(x, wavelet, level)
+    _tree_allclose(got, want, atol=1e-4)
+    rec = sharded_waverec2(got, wavelet, mesh=mesh,
+                           space_axis="rows", col_axis="cols")
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x),
+                               atol=1e-3, rtol=0)
