@@ -276,7 +276,14 @@ def _ensure_tuned(h: int, w: int) -> bool:
     need = False
     for suffix in ("", ":inv"):
         entry = table.get(f"{b}:float32:cdf97{suffix}")
-        if entry is None or not expected <= set(entry.get("secs", {})):
+        if entry is None:
+            need = True
+            continue
+        # a candidate that failed to compile on this device still counts
+        # as attempted (tune_dispatch records it under 'failed'): without
+        # this, an uncompilable candidate forces a full re-tune per run
+        tried = set(entry.get("secs", {})) | set(entry.get("failed", {}))
+        if not expected <= tried:
             need = True
     if need:
         print(f"# re-tuning bucket {b} (missing/partial entry)",

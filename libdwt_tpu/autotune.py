@@ -294,6 +294,7 @@ def tune_dispatch(
         stacks = _make_stacks((n, n), dtype, 8, 32)
         for direction in ("fwd", "inv"):
             rows = {}
+            failed = {}
             for name, frame_fn in _pyramid_candidates(
                 wavelet, levels, direction, shape=(n, n)
             ):
@@ -304,9 +305,14 @@ def tune_dispatch(
                 except Exception as e:  # pragma: no cover - device-dependent
                     import sys
 
+                    # record the failure IN the entry: a candidate that
+                    # cannot compile on this device (e.g. a Mosaic
+                    # internal error) must still count as "attempted",
+                    # else completeness checks re-tune on every run
+                    failed[name] = f"{type(e).__name__}: {str(e)[:120]}"
                     print(
                         f"tune: {n}:{direction}:{name} failed: "
-                        f"{type(e).__name__}: {str(e)[:120]}",
+                        f"{failed[name]}",
                         file=sys.stderr,
                     )
                     continue
@@ -314,11 +320,14 @@ def tune_dispatch(
                 continue
             winner = min(rows, key=rows.get)
             suffix = "" if direction == "fwd" else ":inv"
-            mine[f"{b}:{jnp.dtype(dtype).name}:{wname}{suffix}"] = {
+            entry = {
                 "impl": winner,
                 "secs": rows,
                 "measured_at": n,
             }
+            if failed:
+                entry["failed"] = failed
+            mine[f"{b}:{jnp.dtype(dtype).name}:{wname}{suffix}"] = entry
     table[kind] = mine
     if save:
         _save_disk(table)

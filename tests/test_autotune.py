@@ -56,3 +56,30 @@ def test_autotune_dwt2_measures_and_caches(tuned):
     cfg = autotune.autotune_dwt2((64, 64), "cdf97", trials=1)
     assert cfg["impl"] in ("separable", "fused")
     assert autotune.best_config((64, 64), "cdf97") == cfg
+
+
+def test_tune_dispatch_records_failed_candidates(tuned, monkeypatch):
+    """A candidate that cannot compile on the device must land in the
+    entry's 'failed' map (counting as attempted), or completeness
+    checks like bench._ensure_tuned re-tune on every run."""
+
+    def fake_candidates(wavelet, levels, direction, shape=None):
+        from libdwt_tpu.ops.separable import wavedec2 as sep
+
+        def boom(a):
+            raise RuntimeError("MosaicError: INTERNAL: remote_compile")
+
+        return [
+            ("separable", lambda a: sep(a, wavelet, levels)),
+            ("streamed", boom),
+        ]
+
+    monkeypatch.setattr(autotune, "_pyramid_candidates", fake_candidates)
+    mine = autotune.tune_dispatch(sizes=(128,), levels=2, trials=1)
+    entry = mine["128:float32:cdf97"]
+    assert entry["impl"] == "separable"
+    assert "streamed" in entry.get("failed", {})
+    assert "MosaicError" in entry["failed"]["streamed"]
+    # the attempted set (secs + failed) covers both candidates
+    tried = set(entry["secs"]) | set(entry["failed"])
+    assert {"separable", "streamed"} <= tried

@@ -50,6 +50,12 @@ def test_example_runs(name, tmp_path):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
+    # the examples import libdwt_tpu; make the repo root visible to the
+    # subprocess whether or not the package is pip-installed (the
+    # subprocess's sys.path[0] is examples/, not the repo root)
+    repo_root = os.path.abspath(os.path.join(_EXAMPLES_DIR, ".."))
+    prev = env.get("PYTHONPATH")
+    env["PYTHONPATH"] = repo_root + (os.pathsep + prev if prev else "")
     script = os.path.join(_EXAMPLES_DIR, name)
     args = list(_CASES[name])
     # route file outputs into the sandbox

@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--strips", default="128,256,416,512")
     ap.add_argument("--trials", type=int, default=6)
     ap.add_argument("--chains", default="8,32")
+    ap.add_argument(
+        "--only", default="",
+        help="comma-separated candidate-name prefixes to run (e.g. "
+        "'streamed' or 'streamed[416]:fwd'); keeps remote compile "
+        "batches small (CLAUDE.md: ~4-6 pallas compiles per run)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -76,6 +82,10 @@ def main():
                 sep_dec(a, "cdf97", J), "cdf97", strip_rows=t
             ),
         ))
+
+    if args.only:
+        prefixes = tuple(p.strip() for p in args.only.split(",") if p.strip())
+        cands = [c for c in cands if c[0].startswith(prefixes)]
 
     for name, fn in cands:
         try:
