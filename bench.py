@@ -271,19 +271,31 @@ def _ensure_tuned(h: int, w: int) -> bool:
     expected = {"separable"}
     if fused_supported("cdf97"):
         expected.add("fused")
-    if streamed_supported((h, w), "cdf97", 256, levels=2):
+    streamed_ok = streamed_supported((h, w), "cdf97", 256, levels=2)
+    if streamed_ok:
         expected.add("streamed")
     need = False
     for suffix in ("", ":inv"):
+        want = set(expected)
+        if suffix == "" and streamed_ok:
+            # forward-only candidate (the inverse 'streamed' already
+            # resolves to the MXU body for float32)
+            want.add("streamed-mxu")
         entry = table.get(f"{b}:float32:cdf97{suffix}")
         if entry is None:
             need = True
             continue
         # a candidate that failed to compile on this device still counts
-        # as attempted (tune_dispatch records it under 'failed'): without
-        # this, an uncompilable candidate forces a full re-tune per run
-        tried = set(entry.get("secs", {})) | set(entry.get("failed", {}))
-        if not expected <= tried:
+        # as attempted (tune_dispatch records it under 'failed') — but
+        # only while the environment that failed is the CURRENT one: a
+        # jax/Mosaic upgrade may have fixed the compile, so a stale
+        # stamp re-tries the candidate instead of pinning dispatch to
+        # the slower winner forever
+        failed = entry.get("failed", {})
+        if failed and entry.get("failed_jax") != jax.__version__:
+            failed = {}
+        tried = set(entry.get("secs", {})) | set(failed)
+        if not want <= tried:
             need = True
     if need:
         print(f"# re-tuning bucket {b} (missing/partial entry)",

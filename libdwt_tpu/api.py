@@ -9,6 +9,10 @@ space collapses to three strategies plus a policy:
   * ``fused``     — single-loop Pallas strip kernels (auto-pipelined grid)
   * ``streamed``  — single-loop strip kernels with MANUAL double-buffered
                     DMA (ops/streamed; overlaps loads/stores with compute)
+  * ``streamed-mxu`` — streamed strips whose lifting arithmetic runs as
+                    banded matmuls on the MXU (ops/banded; float32
+                    multi-level transforms — single-level calls fall
+                    back to the VPU polyphase body)
   * ``auto``      — the measured per-device crossover table
                     (tools/tune.py), else built-in thresholds
 
@@ -36,7 +40,7 @@ __all__ = [
     "waverec3",
 ]
 
-_IMPLS = ("auto", "fused", "separable", "streamed")
+_IMPLS = ("auto", "fused", "separable", "streamed", "streamed-mxu")
 _default_impl = "auto"
 
 #: below this edge length the fused kernel cannot run at all.
@@ -73,6 +77,12 @@ def _streamed_ok(h: int, w: int, wavelet, levels: int) -> bool:
                               levels=2 if levels >= 2 else 1)
 
 
+def _mxu_ok(wavelet, dtype, direction: str) -> bool:
+    from libdwt_tpu.ops.banded import mxu_supported
+
+    return dtype is not None and mxu_supported(wavelet, dtype)
+
+
 def _pick_impl(
     h: int, w: int, wavelet, impl: Optional[str], dtype=None,
     direction: str = "fwd", levels: int = 1,
@@ -94,11 +104,15 @@ def _pick_impl(
                 "symmetric-step wavelet"
             )
         return impl
-    if impl == "streamed":
+    if impl in ("streamed", "streamed-mxu"):
         if not _streamed_ok(h, w, wavelet, levels):
             raise ValueError(
                 "streamed impl needs even dims (div. by 4 for 2+ levels), "
                 "2..32 strips of rows and a symmetric-step wavelet"
+            )
+        if impl == "streamed-mxu" and not _mxu_ok(wavelet, dtype, direction):
+            raise ValueError(
+                "streamed-mxu impl needs a float32 symmetric wavelet"
             )
         return impl
     if not (feasible and _on_tpu()):
@@ -111,8 +125,14 @@ def _pick_impl(
         from libdwt_tpu.autotune import dispatch_choice
 
         choice = dispatch_choice(h, w, dtype, wavelet, direction)
-        if choice == "streamed" and not _streamed_ok(h, w, wavelet, levels):
+        if (choice in ("streamed", "streamed-mxu")
+                and not _streamed_ok(h, w, wavelet, levels)):
             choice = "fused"
+        if (choice == "streamed-mxu"
+                and not _mxu_ok(wavelet, dtype, direction)):
+            # the MXU body is float32-only; a winner entry may reach a
+            # non-f32 call via the size-bucket fallback
+            choice = "streamed"
         if choice is not None:
             return choice
     return "fused" if min(h, w) >= _AUTO_MIN_SIZE else "separable"
@@ -129,6 +149,8 @@ def dwt2(x, wavelet="cdf97", impl: Optional[str] = None):
     """Single-level 2-D forward transform -> (LL, HL, LH, HH)."""
     h, w = x.shape[-2], x.shape[-1]
     choice = _pick_impl(h, w, wavelet, impl, x.dtype)
+    if choice == "streamed-mxu":
+        choice = "streamed"  # the MXU body only exists for the 2-level+
     if choice in ("fused", "streamed"):
         interp = not _on_tpu()
         if choice == "streamed":
@@ -165,6 +187,8 @@ def idwt2(ll, hl, lh, hh, wavelet="cdf97", impl: Optional[str] = None,
     if border != "mirror":
         return _sep.idwt2_level(ll, hl, lh, hh, wavelet, border=border)
     choice = _pick_impl(h, w, wavelet, impl, ll.dtype, direction="inv")
+    if choice == "streamed-mxu":
+        choice = "streamed"  # the MXU body only exists for the 2-level+
     if choice in ("fused", "streamed"):
         interp = not _on_tpu()
         if choice == "streamed":
@@ -201,9 +225,16 @@ def wavedec2(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str
     h, w = x.shape[-2], x.shape[-1]
     j = resolve_j(h, w, level)
     choice = _pick_impl(h, w, wavelet, impl, x.dtype, levels=j)
-    if choice in ("fused", "streamed"):
-        if choice == "streamed":
-            from libdwt_tpu.ops.streamed import streamed_wavedec2 as dec_fn
+    if choice in ("fused", "streamed", "streamed-mxu"):
+        if choice.startswith("streamed"):
+            import functools
+
+            from libdwt_tpu.ops.streamed import streamed_wavedec2
+
+            dec_fn = functools.partial(
+                streamed_wavedec2,
+                body="mxu" if choice == "streamed-mxu" else "poly",
+            )
         else:
             from libdwt_tpu.ops.fused import fused_wavedec2 as dec_fn
 
@@ -243,9 +274,16 @@ def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None,
         w = coeffs[-1][0].shape[-1] + coeffs[-1][1].shape[-1]
         choice = _pick_impl(h, w, wavelet, impl, ll.dtype, direction="inv",
                             levels=len(coeffs) - 1)
-        if choice in ("fused", "streamed"):
-            if choice == "streamed":
-                from libdwt_tpu.ops.streamed import streamed_waverec2 as rec_fn
+        if choice in ("fused", "streamed", "streamed-mxu"):
+            if choice.startswith("streamed"):
+                import functools
+
+                from libdwt_tpu.ops.streamed import streamed_waverec2
+
+                rec_fn = functools.partial(
+                    streamed_waverec2,
+                    body="mxu" if choice == "streamed-mxu" else "auto",
+                )
             else:
                 from libdwt_tpu.ops.fused import fused_waverec2 as rec_fn
 

@@ -169,7 +169,7 @@ def best_config(shape, wavelet="cdf97", dtype=jnp.float32) -> Optional[Dict]:
 
 
 def _pyramid_candidates(wavelet, levels: int, direction: str = "fwd",
-                        shape=None):
+                        shape=None, dtype=jnp.float32):
     """(name, per-frame fn) candidates for a full wavedec2/waverec2
     pyramid.  ``direction='inv'`` candidates take the same frame input
     and run forward+inverse, so the candidate DIFFERENCE is the
@@ -195,6 +195,14 @@ def _pyramid_candidates(wavelet, levels: int, direction: str = "fwd",
             cands.append(
                 ("streamed", lambda a: streamed_wavedec2(a, wavelet, levels))
             )
+            from libdwt_tpu.ops.banded import mxu_supported
+
+            if mxu_supported(wavelet, dtype):
+                cands.append((
+                    "streamed-mxu",
+                    lambda a: streamed_wavedec2(a, wavelet, levels,
+                                                body="mxu"),
+                ))
         return cands
     cands = [
         ("separable",
@@ -206,6 +214,10 @@ def _pyramid_candidates(wavelet, levels: int, direction: str = "fwd",
              lambda a: fused_waverec2(sep_wavedec2(a, wavelet, levels), wavelet))
         )
     if streamed_ok:
+        # no separate mxu inverse candidate: streamed_waverec2's default
+        # body='auto' already resolves to the MXU synthesis for float32
+        # (the polyphase inverse OOM-kills Mosaic at 4K-class geometry,
+        # see ops.streamed._resolve_inv_body)
         cands.append(
             ("streamed",
              lambda a: streamed_waverec2(sep_wavedec2(a, wavelet, levels),
@@ -296,7 +308,7 @@ def tune_dispatch(
             rows = {}
             failed = {}
             for name, frame_fn in _pyramid_candidates(
-                wavelet, levels, direction, shape=(n, n)
+                wavelet, levels, direction, shape=(n, n), dtype=dtype
             ):
                 try:
                     rows[name] = _chain_slope_secs(
@@ -316,10 +328,20 @@ def tune_dispatch(
                         file=sys.stderr,
                     )
                     continue
+            suffix = "" if direction == "fwd" else ":inv"
             if not rows:
+                if failed:
+                    # every candidate failed: persist the failure map so
+                    # completeness checks still see the attempt instead
+                    # of re-tuning on every run (consumers tolerate a
+                    # missing 'impl')
+                    mine[f"{b}:{jnp.dtype(dtype).name}:{wname}{suffix}"] = {
+                        "failed": failed,
+                        "failed_jax": jax.__version__,
+                        "measured_at": n,
+                    }
                 continue
             winner = min(rows, key=rows.get)
-            suffix = "" if direction == "fwd" else ":inv"
             entry = {
                 "impl": winner,
                 "secs": rows,
@@ -327,6 +349,10 @@ def tune_dispatch(
             }
             if failed:
                 entry["failed"] = failed
+                # a compile failure is environment-specific: stamp it so
+                # a jax/Mosaic upgrade invalidates the "attempted" claim
+                # and the candidate is re-tried
+                entry["failed_jax"] = jax.__version__
             mine[f"{b}:{jnp.dtype(dtype).name}:{wname}{suffix}"] = entry
     table[kind] = mine
     if save:

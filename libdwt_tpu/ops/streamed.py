@@ -117,6 +117,48 @@ def _strip_geom(i: int, total: int, stride: int, top: int = TOP):
     return want_lo, s, e - s, s - want_lo
 
 
+def _zero_dma_gaps(buf, i: int, total: int, stride: int, tyw: int,
+                   w: int, dtype, top: int = TOP) -> None:
+    """Zero a strip buffer's DMA gap rows (head halo of the first
+    strip, past-the-end tail of the last).  The MXU banded windows SUM
+    over them with zero weights, and 0*garbage (NaN/Inf in fresh VMEM)
+    would poison whole matmul blocks — the polyphase body never lets
+    them reach a kept row, matmuls do."""
+    _, s, L, o = _strip_geom(i, total, stride, top)
+    if o > 0:
+        buf[i % 2, pl.ds(0, o), :] = jnp.zeros((o, w), dtype)
+    if o + L < tyw:
+        buf[i % 2, pl.ds(o + L, tyw - o - L), :] = jnp.zeros(
+            (tyw - o - L, w), dtype)
+
+
+def _mxu_strip(body: str) -> int:
+    """Default preferred strip rows per body: the FUSED_DOT mxu mode
+    prefers ty=480 (tyw=512, a 256-multiple) so the banded lane passes
+    need no 128-multiple sublane padding; everything else keeps the
+    measured 256 default."""
+    if body == "mxu":
+        from libdwt_tpu.ops import banded
+
+        if banded.FUSED_DOT:
+            return 480
+    return 256
+
+
+def _resolve_inv_body(body: str, wavelet, dtype) -> str:
+    """Inverse-kernel body choice.  ``'auto'`` resolves to the MXU
+    banded-matmul body for float32 (Mosaic OOM-kills its compiler on
+    the POLYPHASE synthesis at 4K-class geometry — observed
+    "tpu_compile_helper subprocess exit signal SIGKILL" after ~20 min —
+    while the matmul body compiles in minutes) and to the polyphase
+    body otherwise (integers need it bit-exact)."""
+    if body == "auto":
+        from libdwt_tpu.ops.banded import mxu_supported
+
+        return "mxu" if mxu_supported(wavelet, dtype) else "poly"
+    return body
+
+
 def _fix_strip(t, i: int, meta):
     """Channel-domain border mirrors for inverse strip ``i`` of a band
     described by ``meta = (total, stride, tyw, is_low)`` — the virt2real
@@ -250,24 +292,40 @@ def streamed_dwt2_level(
     )(x)
 
 
-@functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "wavelet", "strip_rows", "interpret", "body"))
 def streamed_dwt2_2level(
     x: jax.Array,
     wavelet="cdf97",
     strip_rows: int = 0,
     interpret: bool = False,
+    body: str = "poly",
 ):
     """TWO forward levels in one pass over the image (the multi-scale
     fused single-loop of /root/reference/src/dwt-sym-ms.c with manual
     double buffering).  Returns (LL2, (HL2, LH2, HH2), (HL1, LH1, HH1));
-    needs h, w divisible by 4."""
+    needs h, w divisible by 4.
+
+    ``body='mxu'`` (float only) computes the lifting passes as banded
+    matmuls on the MXU (ops/banded.py) instead of VPU polyphase shifts;
+    identical semantics up to float reassociation."""
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
     h, w = x.shape
     if h % 4 or w % 4:
         raise ValueError("needs h, w divisible by 4")
+    if body == "mxu":
+        from libdwt_tpu.ops.banded import mxu_supported
+
+        if not mxu_supported(wavelet, x.dtype):
+            raise ValueError("body='mxu' needs a float symmetric wavelet")
+    elif body not in ("poly", "copy"):
+        # 'copy' is a TIMING-ONLY control body (wrong math: quadrants
+        # are plain slices) measuring the pure stream floor + DMA /
+        # compute overlap; never reachable from dispatch
+        raise ValueError(f"unknown kernel body {body!r}")
     TOP2 = 16  # level-1 keeps an 8-row channel halo above every strip
-    ty = pick_strip(h, strip_rows or 256)
+    ty = pick_strip(h, strip_rows or _mxu_strip(body))
     ny = -(-h // ty)
     rem = h - (ny - 1) * ty
     tyw = ty + 2 * TOP2 + (16 if 0 < rem < TOP2 else 0)
@@ -276,9 +334,21 @@ def streamed_dwt2_2level(
     hy, qy = ty // 2, ty // 4
     hx, qx = w // 2, w // 4
 
+    n_mats = 0
+    if body == "mxu":
+        import numpy as np
+
+        from libdwt_tpu.ops.banded import build_fwd2_mats
+
+        mats, mats_meta = build_fwd2_mats(
+            h, w, ty, tyw, TOP2, HALO2, wavelet, np.dtype(x.dtype))
+        n_mats = len(mats)
+
     STAGE = [(qy, qx, h // 4)] * 4 + [(hy, hx, h // 2)] * 3
 
     def kernel(x_hbm, *refs):
+        mat_refs = refs[:n_mats]
+        refs = refs[n_mats:]
         outs = refs[:7]
         in_buf = refs[7]
         stages = refs[8:15]
@@ -308,30 +378,45 @@ def streamed_dwt2_2level(
             in_dma(i).wait()
             t = in_buf[i % 2]
             want_lo = i * ty - TOP2
-            if i == 0:
-                t = _mirror_head_sub(t, TOP2, HALO2)
+            c = TOP2 // 2
             if i * ty + ty + HALO2 > h:
                 er = (h - 1) - want_lo
                 _require(er + HALO2 <= tyw - 1,
                          f"strip {i}: tail mirror past buffer "
                          f"(er={er}, tyw={tyw})")
-                t = _mirror_tail_sub(t, er, HALO2)
-            ll, hl1, lh1, hh1 = _analysis2d_poly(
-                t, wavelet, row_edges=(True, True)
-            )
-            c = TOP2 // 2
-            # level-1 bottom fixup: the oracle extends the LL signal
-            # whole-point around its own last sample (same rule as
-            # ops/fused._2lvl_kernel's er_ll fix)
             if want_lo + tyw > h:
-                er_ll = h // 2 - 1 - want_lo // 2
-                _require(er_ll + HALO2 // 2 <= tyw // 2 - 1,
-                         f"strip {i}: LL tail mirror past buffer "
-                         f"(er_ll={er_ll})")
-                ll = _mirror_tail_sub(ll, er_ll, HALO2 // 2)
-            ll2, hl2, lh2, hh2 = _analysis2d_poly(
-                ll, wavelet, row_edges=(True, True)
-            )
+                _require(h // 2 - 1 - want_lo // 2 + HALO2 // 2
+                         <= tyw // 2 - 1,
+                         f"strip {i}: LL tail mirror past buffer")
+            if body == "mxu":
+                from libdwt_tpu.ops.banded import fwd2_strip_packed
+
+                _zero_dma_gaps(in_buf, i, h, ty, tyw, w, x.dtype, TOP2)
+                t = in_buf[i % 2]
+                ll2, hl2, lh2, hh2, hl1, lh1, hh1 = fwd2_strip_packed(
+                    t, i, mat_refs, mats_meta, upcast=interpret
+                )
+            elif body == "copy":
+                q4 = (t[: tyw // 4, : w // 4],)
+                ll2 = hl2 = lh2 = hh2 = q4[0]
+                hl1 = lh1 = hh1 = t[: tyw // 2, : w // 2]
+            else:
+                if i == 0:
+                    t = _mirror_head_sub(t, TOP2, HALO2)
+                if i * ty + ty + HALO2 > h:
+                    t = _mirror_tail_sub(t, (h - 1) - want_lo, HALO2)
+                ll, hl1, lh1, hh1 = _analysis2d_poly(
+                    t, wavelet, row_edges=(True, True)
+                )
+                # level-1 bottom fixup: the oracle extends the LL signal
+                # whole-point around its own last sample (same rule as
+                # ops/fused._2lvl_kernel's er_ll fix)
+                if want_lo + tyw > h:
+                    ll = _mirror_tail_sub(
+                        ll, h // 2 - 1 - want_lo // 2, HALO2 // 2)
+                ll2, hl2, lh2, hh2 = _analysis2d_poly(
+                    ll, wavelet, row_edges=(True, True)
+                )
             c2 = c // 2
             if i >= 2:
                 for q in range(7):
@@ -349,10 +434,13 @@ def streamed_dwt2_2level(
 
     sd4 = jax.ShapeDtypeStruct((h // 4, w // 4), x.dtype)
     sd2 = jax.ShapeDtypeStruct((h // 2, w // 2), x.dtype)
+    operands = (x,) + (tuple(jnp.asarray(m) for m in mats)
+                       if n_mats else ())
     ll2, hl2, lh2, hh2, hl1, lh1, hh1 = pl.pallas_call(
         kernel,
         grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)] * n_mats,
         out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in range(7)),
         out_shape=(sd4, sd4, sd4, sd4, sd2, sd2, sd2),
         scratch_shapes=[pltpu.VMEM((2, tyw, w), x.dtype)]
@@ -361,7 +449,7 @@ def streamed_dwt2_2level(
         + [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2, 7))],
         interpret=interpret,
         compiler_params=None if interpret else _params(),
-    )(x)
+    )(*operands)
     return ll2, (hl2, lh2, hh2), (hl1, lh1, hh1)
 
 
@@ -467,15 +555,22 @@ def streamed_idwt2_level(
     )(ll, hl, lh, hh)
 
 
-@functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "wavelet", "strip_rows", "interpret", "body"))
 def streamed_idwt2_2level(
     ll2, bands2, bands1,
     wavelet="cdf97",
     strip_rows: int = 0,
     interpret: bool = False,
+    body: str = "auto",
 ) -> jax.Array:
     """TWO reconstruction levels in one pass (inverse of
-    :func:`streamed_dwt2_2level`); needs h, w divisible by 4."""
+    :func:`streamed_dwt2_2level`); needs h, w divisible by 4.
+
+    ``body='mxu'`` (float only) runs the synthesis lifting as banded
+    matmuls on the MXU (ops/banded.py); the per-band channel-mirror
+    fixes stay on the VPU.  Default 'auto' picks mxu for float32
+    (see :func:`_resolve_inv_body`)."""
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
     hl2, lh2, hh2 = bands2
@@ -484,7 +579,15 @@ def streamed_idwt2_2level(
     w = hl1.shape[-1] + lh1.shape[-1]
     if h % 4 or w % 4:
         raise ValueError("needs h, w divisible by 4")
-    ty = pick_strip(h, strip_rows or 256)
+    body = _resolve_inv_body(body, wavelet, ll2.dtype)
+    if body == "mxu":
+        from libdwt_tpu.ops.banded import mxu_supported
+
+        if not mxu_supported(wavelet, ll2.dtype):
+            raise ValueError("body='mxu' needs a float32 symmetric wavelet")
+    elif body != "poly":
+        raise ValueError(f"unknown kernel body {body!r}")
+    ty = pick_strip(h, strip_rows or _mxu_strip(body))
     ny = -(-h // ty)
     hy, qy = ty // 2, ty // 4
     hx, qx = w // 2, w // 4
@@ -496,12 +599,27 @@ def streamed_idwt2_2level(
     if cy1 <= tyw_h or cy2 <= tyw_q or ny < 2 or ny > MAX_STRIPS:
         raise ValueError("geometry outside the streamed kernel's range")
 
+    n_mats = 0
+    if body == "mxu":
+        import numpy as np
+
+        from libdwt_tpu.ops.banded import build_inv_mats
+
+        (m2c, m2l), (meta2c, meta2l) = build_inv_mats(
+            2 * tyw_q, w // 2, wavelet, np.dtype(ll2.dtype))
+        (m1c, m1l), (meta1c, meta1l) = build_inv_mats(
+            2 * tyw_h, w, wavelet, np.dtype(ll2.dtype))
+        mats = (m2c, m2l, m1c, m1l)
+        n_mats = len(mats)
+
     META = [(cy2, qy, tyw_q, True), (cy2, qy, tyw_q, True),
             (cy2, qy, tyw_q, False), (cy2, qy, tyw_q, False),
             (cy1, hy, tyw_h, True), (cy1, hy, tyw_h, False),
             (cy1, hy, tyw_h, False)]
 
     def kernel(*refs):
+        mat_refs = refs[:n_mats]
+        refs = refs[n_mats:]
         bands_h = refs[:7]
         out_h = refs[7]
         bufs = refs[8:15]
@@ -531,11 +649,23 @@ def streamed_idwt2_2level(
                     in_dma(i + 1, q).start()
             for q in range(7):
                 in_dma(i, q).wait()
+            if body == "mxu":
+                from libdwt_tpu.ops.banded import synthesis2d_packed
+
+                for q in range(7):
+                    _zero_dma_gaps(bufs[q], i, META[q][0], META[q][1],
+                                   META[q][2], bands_h[q].shape[-1],
+                                   ll2.dtype)
             l2, x2, y2, z2 = (
                 _fix_strip(bufs[q][i % 2], i, META[q]) for q in range(4)
             )
-            t2 = _synthesis2d_poly(l2, x2, y2, z2, wavelet,
-                                   row_edges=(True, True))
+            if body == "mxu":
+                t2 = synthesis2d_packed(l2, x2, y2, z2, mat_refs[0],
+                                        meta2c, mat_refs[1], meta2l,
+                                        upcast=interpret)
+            else:
+                t2 = _synthesis2d_poly(l2, x2, y2, z2, wavelet,
+                                       row_edges=(True, True))
             # LL1 rows [i*hy - TOP, ...) start at t2 row TOP: t2's row
             # for LL1 row r is 2*(r - want_lo_q) with want_lo_q =
             # i*qy - TOP, so r = i*hy - TOP lands at row TOP.
@@ -549,7 +679,13 @@ def streamed_idwt2_2level(
                          f"(er1={er1}, tyw_h={tyw_h})")
                 ll1 = _mirror_tail_sub_repeat(ll1, er1, CFIX)
             b1 = [_fix_strip(bufs[q][i % 2], i, META[q]) for q in range(4, 7)]
-            t1 = _synthesis2d_poly(ll1, *b1, wavelet, row_edges=(True, True))
+            if body == "mxu":
+                t1 = synthesis2d_packed(ll1, *b1, mat_refs[2], meta1c,
+                                        mat_refs[3], meta1l,
+                                        upcast=interpret)
+            else:
+                t1 = _synthesis2d_poly(ll1, *b1, wavelet,
+                                       row_edges=(True, True))
             if i >= 2:
                 out_dma(i - 2).wait()
             ostage[i % 2, :] = t1[2 * TOP : 2 * TOP + ty, :]
@@ -558,10 +694,13 @@ def streamed_idwt2_2level(
             out_dma(i).wait()
 
     out_sd = jax.ShapeDtypeStruct((h, w), ll2.dtype)
+    operands = ((tuple(jnp.asarray(m) for m in mats) if n_mats else ())
+                + (ll2, hl2, lh2, hh2, hl1, lh1, hh1))
     return pl.pallas_call(
         kernel,
         grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.VMEM)] * n_mats
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 7,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=out_sd,
         scratch_shapes=[pltpu.VMEM((2, tyw_q, qx), ll2.dtype)] * 4
@@ -571,17 +710,19 @@ def streamed_idwt2_2level(
            pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
         compiler_params=None if interpret else _params(),
-    )(ll2, hl2, lh2, hh2, hl1, lh1, hh1)
+    )(*operands)
 
 
 # --------------------------------------------------------------- pyramids
 
 
 def streamed_wavedec2(x, wavelet="cdf97", level: int = 1,
-                      strip_rows: int = 0, interpret: bool = False):
+                      strip_rows: int = 0, interpret: bool = False,
+                      body: str = "poly"):
     """Multi-level MRA: streamed 2-level kernels while geometry allows,
     then the fused/XLA tail of :func:`ops.fused.fused_wavedec2`.  Same
-    pytree as wavedec2."""
+    pytree as wavedec2.  ``body`` selects the strip compute body
+    ('poly' VPU polyphase / 'mxu' banded matmuls, float only)."""
     from libdwt_tpu.ops.fused import fused_wavedec2
 
     if (
@@ -593,7 +734,8 @@ def streamed_wavedec2(x, wavelet="cdf97", level: int = 1,
         # whole pyramid in one launch: levels 1-2 streamed, the tail on
         # the VMEM-resident LL2
         return streamed_wavedec2_deep(
-            x, wavelet, level, strip_rows=strip_rows, interpret=interpret
+            x, wavelet, level, strip_rows=strip_rows, interpret=interpret,
+            body=body,
         )
     coeffs = []
     ll = x
@@ -602,7 +744,8 @@ def streamed_wavedec2(x, wavelet="cdf97", level: int = 1,
         ll.shape, wavelet, strip_rows, levels=2
     ):
         ll, b2, b1 = streamed_dwt2_2level(
-            ll, wavelet, strip_rows=strip_rows, interpret=interpret
+            ll, wavelet, strip_rows=strip_rows, interpret=interpret,
+            body=body,
         )
         coeffs.append(b1)
         coeffs.append(b2)
@@ -615,10 +758,13 @@ def streamed_wavedec2(x, wavelet="cdf97", level: int = 1,
 
 
 def streamed_waverec2(coeffs, wavelet="cdf97", strip_rows: int = 0,
-                      interpret: bool = False):
+                      interpret: bool = False, body: str = "auto"):
     """Inverse of :func:`streamed_wavedec2` (accepts any wavedec2
     pytree): streamed 2-level inverses from the coarse end down, with
-    the fused/XLA tail for small or odd-geometry levels."""
+    the fused/XLA tail for small or odd-geometry levels.  ``body``
+    selects the strip synthesis body ('poly' VPU polyphase / 'mxu'
+    banded matmuls, float32 only; default 'auto' = mxu for float32,
+    see :func:`_resolve_inv_body`)."""
     from libdwt_tpu.ops.fused import fused_waverec2
 
     if len(coeffs) >= 4 and coeffs[0].ndim == 2:
@@ -627,7 +773,8 @@ def streamed_waverec2(coeffs, wavelet="cdf97", strip_rows: int = 0,
         # loop)
         try:
             return streamed_waverec2_deep(
-                coeffs, wavelet, strip_rows=strip_rows, interpret=interpret
+                coeffs, wavelet, strip_rows=strip_rows, interpret=interpret,
+                body=body,
             )
         except ValueError:
             pass
@@ -650,7 +797,7 @@ def streamed_waverec2(coeffs, wavelet="cdf97", strip_rows: int = 0,
             if full:
                 ll = streamed_idwt2_2level(
                     ll, b2, b1, wavelet, strip_rows=strip_rows,
-                    interpret=interpret,
+                    interpret=interpret, body=body,
                 )
                 rest = rest[2:]
                 continue
@@ -677,13 +824,14 @@ def streamed_deep_ok(shape, dtype_itemsize: int, wavelet, level: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "wavelet", "level", "strip_rows", "interpret"))
+    "wavelet", "level", "strip_rows", "interpret", "body"))
 def streamed_wavedec2_deep(
     x: jax.Array,
     wavelet="cdf97",
     level: int = 3,
     strip_rows: int = 0,
     interpret: bool = False,
+    body: str = "poly",
 ):
     """The ENTIRE multi-level pyramid in ONE kernel launch: levels 1-2
     stream through double-buffered strips (exactly
@@ -701,9 +849,19 @@ def streamed_wavedec2_deep(
         raise ValueError("use streamed_dwt2_2level for level <= 2")
     if h % 4 or w % 4:
         raise ValueError("needs h, w divisible by 4")
+    if body == "mxu":
+        from libdwt_tpu.ops.banded import mxu_supported
+
+        if not mxu_supported(wavelet, x.dtype):
+            raise ValueError("body='mxu' needs a float symmetric wavelet")
+    elif body not in ("poly", "copy"):
+        # 'copy' is a TIMING-ONLY control body (wrong math: quadrants
+        # are plain slices) measuring the pure stream floor + DMA /
+        # compute overlap; never reachable from dispatch
+        raise ValueError(f"unknown kernel body {body!r}")
     deep_levels = level - 2
     TOP2 = 16
-    ty = pick_strip(h, strip_rows or 256)
+    ty = pick_strip(h, strip_rows or _mxu_strip(body))
     ny = -(-h // ty)
     rem = h - (ny - 1) * ty
     tyw = ty + 2 * TOP2 + (16 if 0 < rem < TOP2 else 0)
@@ -727,9 +885,21 @@ def streamed_wavedec2_deep(
         ch, cw = cy_, cx_
     n_deep = 3 * deep_levels + 1
 
+    n_mats = 0
+    if body == "mxu":
+        import numpy as np
+
+        from libdwt_tpu.ops.banded import build_fwd2_mats
+
+        mats, mats_meta = build_fwd2_mats(
+            h, w, ty, tyw, TOP2, HALO2, wavelet, np.dtype(x.dtype))
+        n_mats = len(mats)
+
     STAGE = [(qy, qx, h // 4)] * 3 + [(hy, hx, h // 2)] * 3
 
     def kernel(x_hbm, *refs):
+        mat_refs = refs[:n_mats]
+        refs = refs[n_mats:]
         strip_outs = refs[:6]           # hl2, lh2, hh2, hl1, lh1, hh1 (ANY)
         deep_outs = refs[6 : 6 + n_deep]  # VMEM
         in_buf = refs[6 + n_deep]
@@ -761,27 +931,42 @@ def streamed_wavedec2_deep(
             in_dma(i).wait()
             t = in_buf[i % 2]
             want_lo = i * ty - TOP2
-            if i == 0:
-                t = _mirror_head_sub(t, TOP2, HALO2)
+            c = TOP2 // 2
             if i * ty + ty + HALO2 > h:
                 er = (h - 1) - want_lo
                 _require(er + HALO2 <= tyw - 1,
                          f"strip {i}: tail mirror past buffer "
                          f"(er={er}, tyw={tyw})")
-                t = _mirror_tail_sub(t, er, HALO2)
-            ll, hl1, lh1, hh1 = _analysis2d_poly(
-                t, wavelet, row_edges=(True, True)
-            )
-            c = TOP2 // 2
             if want_lo + tyw > h:
-                er_ll = h // 2 - 1 - want_lo // 2
-                _require(er_ll + HALO2 // 2 <= tyw // 2 - 1,
-                         f"strip {i}: LL tail mirror past buffer "
-                         f"(er_ll={er_ll})")
-                ll = _mirror_tail_sub(ll, er_ll, HALO2 // 2)
-            ll2, hl2, lh2, hh2 = _analysis2d_poly(
-                ll, wavelet, row_edges=(True, True)
-            )
+                _require(h // 2 - 1 - want_lo // 2 + HALO2 // 2
+                         <= tyw // 2 - 1,
+                         f"strip {i}: LL tail mirror past buffer")
+            if body == "mxu":
+                from libdwt_tpu.ops.banded import fwd2_strip_packed
+
+                _zero_dma_gaps(in_buf, i, h, ty, tyw, w, x.dtype, TOP2)
+                t = in_buf[i % 2]
+                ll2, hl2, lh2, hh2, hl1, lh1, hh1 = fwd2_strip_packed(
+                    t, i, mat_refs, mats_meta, upcast=interpret
+                )
+            elif body == "copy":
+                q4 = (t[: tyw // 4, : w // 4],)
+                ll2 = hl2 = lh2 = hh2 = q4[0]
+                hl1 = lh1 = hh1 = t[: tyw // 2, : w // 2]
+            else:
+                if i == 0:
+                    t = _mirror_head_sub(t, TOP2, HALO2)
+                if i * ty + ty + HALO2 > h:
+                    t = _mirror_tail_sub(t, (h - 1) - want_lo, HALO2)
+                ll, hl1, lh1, hh1 = _analysis2d_poly(
+                    t, wavelet, row_edges=(True, True)
+                )
+                if want_lo + tyw > h:
+                    ll = _mirror_tail_sub(
+                        ll, h // 2 - 1 - want_lo // 2, HALO2 // 2)
+                ll2, hl2, lh2, hh2 = _analysis2d_poly(
+                    ll, wavelet, row_edges=(True, True)
+                )
             c2 = c // 2
             if i >= 2:
                 for q in range(6):
@@ -839,10 +1024,12 @@ def streamed_wavedec2_deep(
         ch, cw = -(-ch // 2), -(-cw // 2)
     deep_sd.append(jax.ShapeDtypeStruct((ch, cw), x.dtype))
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    operands = (x,) + (tuple(jnp.asarray(m) for m in mats)
+                       if n_mats else ())
     outs = pl.pallas_call(
         kernel,
         grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vspec] * n_mats,
         out_specs=tuple([pl.BlockSpec(memory_space=pl.ANY)] * 6
                         + [vspec] * n_deep),
         out_shape=tuple([sd4] * 3 + [sd2] * 3 + deep_sd),
@@ -853,7 +1040,7 @@ def streamed_wavedec2_deep(
            pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2, 6))],
         interpret=interpret,
         compiler_params=None if interpret else _params(),
-    )(x)
+    )(*operands)
     hl2, lh2, hh2, hl1, lh1, hh1 = outs[:6]
     deep = outs[6:]
     coeffs = [deep[-1]]
@@ -865,18 +1052,24 @@ def streamed_wavedec2_deep(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "wavelet", "strip_rows", "interpret"))
+    "wavelet", "strip_rows", "interpret", "body"))
 def streamed_waverec2_deep(
     coeffs,
     wavelet="cdf97",
     strip_rows: int = 0,
     interpret: bool = False,
+    body: str = "auto",
 ) -> jax.Array:
     """The ENTIRE multi-level reconstruction in ONE kernel launch
     (inverse of :func:`streamed_wavedec2_deep`): the deep tail
     reconstructs LL2 in VMEM (the fused_deep_waverec2 body), the
     level-2+1 strips then stream out double-buffered — the LL2 band
-    never touches HBM and the frame is written once."""
+    never touches HBM and the frame is written once.
+
+    ``body='mxu'`` (float only) runs the STRIP synthesis lifting as
+    banded matmuls on the MXU (ops/banded.py); the small deep tail and
+    the channel-mirror fixes stay on the VPU.  Default 'auto' picks
+    mxu for float32 (see :func:`_resolve_inv_body`)."""
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
     levels = len(coeffs) - 1
@@ -934,7 +1127,8 @@ def streamed_waverec2_deep(
                 f"not match the {th}x{tw} level ({want})"
             )
 
-    ty = pick_strip(h, strip_rows or 256)
+    body = _resolve_inv_body(body, wavelet, hl1.dtype)
+    ty = pick_strip(h, strip_rows or _mxu_strip(body))
     ny = -(-h // ty)
     hy, qy = ty // 2, ty // 4
     tyw_h = hy + 2 * TOP
@@ -951,6 +1145,24 @@ def streamed_waverec2_deep(
     bump_q = 8 if 0 < remq < CFIX else 0
     tyw_q += bump_q
 
+    if body == "mxu":
+        import numpy as np
+
+        from libdwt_tpu.ops.banded import build_inv_mats, mxu_supported
+
+        if not mxu_supported(wavelet, hl1.dtype):
+            raise ValueError("body='mxu' needs a float32 symmetric wavelet")
+        (m2c, m2l), (meta2c, meta2l) = build_inv_mats(
+            2 * tyw_q, w // 2, wavelet, np.dtype(hl1.dtype))
+        (m1c, m1l), (meta1c, meta1l) = build_inv_mats(
+            2 * tyw_h, w, wavelet, np.dtype(hl1.dtype))
+        mats = (m2c, m2l, m1c, m1l)
+        n_mats = len(mats)
+    elif body != "poly":
+        raise ValueError(f"unknown kernel body {body!r}")
+    else:
+        n_mats = 0
+
     n_deep_in = 1 + 3 * (levels - 2)
     # grid-aligned LL2 buffer (+ halos); the q bump grows the last
     # strip's window past ny*qy + 2*TOP
@@ -963,6 +1175,8 @@ def streamed_waverec2_deep(
             (cy1, hy, tyw_h, False)]
 
     def kernel(*refs):
+        mat_refs = refs[:n_mats]
+        refs = refs[n_mats:]
         deep_ins = refs[:n_deep_in]              # VMEM (LL_J + triples)
         strip_ins = refs[n_deep_in : n_deep_in + 6]  # ANY
         out_h = refs[n_deep_in + 6]
@@ -989,10 +1203,17 @@ def streamed_waverec2_deep(
         # ---- stage LL2 into the halo-padded strip buffer: top halo via
         # the whole-point channel mirror (s[-m] = s[m]), bottom via the
         # repeat mirror (s[N+m] = s[N-1-m]); one fill for ALL strips.
+        # Built with REF STORES, not a zeros+cur concatenate: ``cur``
+        # carries a (0, 8) vector-layout offset from its 2*CMIR crop and
+        # Mosaic rejects concatenating mixed-offset operands ("offset
+        # mismatch on non-concat dimension", seen at the 4K J=5
+        # geometry); a store relayouts, a concatenate does not.
         pad_bot = buf_rows - TOP - cy2
-        v = jnp.concatenate(
-            [jnp.zeros((TOP, cx2), cur.dtype), cur,
-             jnp.zeros((pad_bot, cx2), cur.dtype)], axis=0)
+        ll2p[pl.ds(0, TOP), :] = jnp.zeros((TOP, cx2), cur.dtype)
+        ll2p[pl.ds(TOP, cy2), :] = cur
+        ll2p[pl.ds(TOP + cy2, pad_bot), :] = jnp.zeros(
+            (pad_bot, cx2), cur.dtype)
+        v = ll2p[:]
         v = _mirror_head_sub(v, TOP, CFIX)
         v = _mirror_tail_sub_repeat(v, TOP + cy2 - 1, CFIX)
         ll2p[:] = v
@@ -1021,12 +1242,24 @@ def streamed_waverec2_deep(
                     in_dma(i + 1, q).start()
             for q in range(6):
                 in_dma(i, q).wait()
+            if body == "mxu":
+                from libdwt_tpu.ops.banded import synthesis2d_packed
+
+                for q in range(6):
+                    _zero_dma_gaps(bufs[q], i, META[q][0], META[q][1],
+                                   META[q][2], strip_ins[q].shape[-1],
+                                   hl1.dtype)
             ll2w = ll2p[pl.ds(i * qy, tyw_q), :]
             x2 = _fix_strip(bufs[0][i % 2], i, META[0])
             y2 = _fix_strip(bufs[1][i % 2], i, META[1])
             z2 = _fix_strip(bufs[2][i % 2], i, META[2])
-            t2 = _synthesis2d_poly(ll2w, x2, y2, z2, wavelet,
-                                   row_edges=(True, True))
+            if body == "mxu":
+                t2 = synthesis2d_packed(ll2w, x2, y2, z2, mat_refs[0],
+                                        meta2c, mat_refs[1], meta2l,
+                                        upcast=interpret)
+            else:
+                t2 = _synthesis2d_poly(ll2w, x2, y2, z2, wavelet,
+                                       row_edges=(True, True))
             ll1 = t2[TOP : TOP + tyw_h, :]
             if i * hy + hy + CFIX > cy1:
                 er1 = (cy1 - 1) - (i * hy - TOP)
@@ -1035,7 +1268,13 @@ def streamed_waverec2_deep(
                          f"(er1={er1}, tyw_h={tyw_h})")
                 ll1 = _mirror_tail_sub_repeat(ll1, er1, CFIX)
             b1 = [_fix_strip(bufs[q][i % 2], i, META[q]) for q in range(3, 6)]
-            t1 = _synthesis2d_poly(ll1, *b1, wavelet, row_edges=(True, True))
+            if body == "mxu":
+                t1 = synthesis2d_packed(ll1, *b1, mat_refs[2], meta1c,
+                                        mat_refs[3], meta1l,
+                                        upcast=interpret)
+            else:
+                t1 = _synthesis2d_poly(ll1, *b1, wavelet,
+                                       row_edges=(True, True))
             if i >= 2:
                 out_dma(i - 2).wait()
             ostage[i % 2, :] = t1[2 * TOP : 2 * TOP + ty, :]
@@ -1049,10 +1288,12 @@ def streamed_waverec2_deep(
     for triple in deep_bands:
         deep_arrs += list(triple)
     out_sd = jax.ShapeDtypeStruct((h, w), hl1.dtype)
+    operands = ((tuple(jnp.asarray(m) for m in mats) if n_mats else ())
+                + tuple(deep_arrs) + (hl2, lh2, hh2, hl1, lh1, hh1))
     return pl.pallas_call(
         kernel,
         grid=(),
-        in_specs=[vspec] * n_deep_in + [aspec] * 6,
+        in_specs=[vspec] * (n_mats + n_deep_in) + [aspec] * 6,
         out_specs=aspec,
         out_shape=out_sd,
         scratch_shapes=[pltpu.VMEM((buf_rows, cx2), hl1.dtype)]
@@ -1063,4 +1304,4 @@ def streamed_waverec2_deep(
            pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
         compiler_params=None if interpret else _params(),
-    )(*deep_arrs, hl2, lh2, hh2, hl1, lh1, hh1)
+    )(*operands)

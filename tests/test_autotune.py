@@ -63,7 +63,7 @@ def test_tune_dispatch_records_failed_candidates(tuned, monkeypatch):
     entry's 'failed' map (counting as attempted), or completeness
     checks like bench._ensure_tuned re-tune on every run."""
 
-    def fake_candidates(wavelet, levels, direction, shape=None):
+    def fake_candidates(wavelet, levels, direction, shape=None, dtype=None):
         from libdwt_tpu.ops.separable import wavedec2 as sep
 
         def boom(a):

@@ -83,9 +83,12 @@ def test_streamed_2lvl_inv_roundtrip(h, w, ty):
     x = _rand(h, w)
     ll1, hl1, lh1, hh1 = dwt2_level(x, "cdf97")
     ll2, hl2, lh2, hh2 = dwt2_level(ll1, "cdf97")
+    # body="poly": the tight tolerance is the VPU polyphase body's; the
+    # MXU body (the float32 'auto' default) is covered at its own
+    # tolerance in tests/test_banded.py
     got = streamed_idwt2_2level(ll2, (hl2, lh2, hh2), (hl1, lh1, hh1),
                                 wavelet="cdf97", strip_rows=ty,
-                                interpret=True)
+                                interpret=True, body="poly")
     assert float(jnp.abs(got - x).max()) < 1e-5
 
 
@@ -170,7 +173,7 @@ def test_streamed_fuzz_2lvl(h, w, ty):
     assert _maxdiff(got, (ll2, (hl2, lh2, hh2), (hl1, lh1, hh1))) < 1e-5
     rec = streamed_idwt2_2level(ll2, (hl2, lh2, hh2), (hl1, lh1, hh1),
                                 wavelet="cdf97", strip_rows=ty,
-                                interpret=True)
+                                interpret=True, body="poly")
     assert float(jnp.abs(rec - x).max()) < 1e-5
 
 
