@@ -20,7 +20,23 @@ The reference publishes no absolute numbers (BASELINE.md), so
 ``vs_baseline`` compares against the driver-defined target instead:
 90% of the single-chip HBM roofline for the minimal traffic of a fused
 multi-level transform (sum_j 8B/4^j ~ 10.67 B/pixel at the nominal
-819 GB/s).  vs_baseline >= 1.0 means target met.
+819 GB/s).  vs_baseline >= 1.0 means target met.  ``extra`` also
+reports the MEASURED-ACHIEVABLE roofline (the best effective copy
+bandwidth ever measured on this part, BENCH_NOTES.md) — the physics
+this chip can actually reach; nominal vs measured is marketing vs
+wall.
+
+DEADLINE DISCIPLINE (the harness must never die silent): the run keeps
+a wall-clock budget ($BENCH_BUDGET_S, default 1380 s) enforced both
+cooperatively between phases and by SIGALRM; on expiry it PRINTS the
+JSON line with whatever phases completed (later phases marked skipped,
+metrics_valid=false if the correctness gates never ran) and exits 0.
+Every phase logs start/end + elapsed to stderr, so a truncated log
+still shows where time went.  Nothing is ever TUNED in-bench: the
+dispatch table ships pre-measured (libdwt_tpu/data/autotune.json,
+tools/tune.py); a missing/partial bucket is only REPORTED in extra.
+The reference bar: its perf protocol always produces its TSV
+(/root/reference/src/libdwt.c:22559-22646).
 
 Correctness gates (run jitted, AFTER timing — eager dispatch poisons
 the process, see CLAUDE.md): the measured fused pyramid is compared
@@ -32,6 +48,7 @@ itself, so a Mosaic miscompile cannot ship a wrong-fast number.
 """
 import json
 import os
+import signal
 import sys
 import time
 
@@ -69,23 +86,98 @@ CHAIN_A, CHAIN_B = 16, 64
 TRIALS = 20
 WARMUP = 2
 
-# HBM bandwidth per chip, GB/s (public specs).
-_BW_GBPS = {
-    "v4": 1228.0,
-    "v5 lite": 819.0,
-    "v5e": 819.0,
-    "v5p": 2765.0,
-    "v6 lite": 1640.0,
-    "v6e": 1640.0,
+#: total wall-clock budget (seconds).  The driver runs bench under its
+#: own timeout; ours must expire FIRST so the JSON line always prints.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1380"))
+_T0 = time.time()
+
+#: best effective HBM copy bandwidth ever MEASURED on this part under
+#: the chain-slope protocol (BENCH_NOTES.md: 67 MB-traffic elementwise
+#: copy, 0.117 ms/frame on v5e) — the achievable ceiling; the nominal
+#: spec number is not reachable by any kernel on this chip.
+MEASURED_COPY_GBPS = {"v5 lite": 572.0, "v5e": 572.0}
+
+
+def _elapsed() -> float:
+    return time.time() - _T0
+
+
+def _remaining() -> float:
+    return BUDGET_S - _elapsed()
+
+
+def _log(msg: str) -> None:
+    print(f"# [{_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+#: progressively-filled result; _emit() can print it at ANY point.
+RESULT = {
+    "metric": "cdf97_2d_fwd_4k_j5_f32",
+    "value": 0.0,
+    "unit": "Mpix/s",
+    "vs_baseline": 0.0,
+    "extra": {"phase_reached": "start", "gates": {}},
 }
+_EMITTED = False
+
+
+def _emit(rc: int = 0) -> None:
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    print(json.dumps(RESULT), flush=True)
+    sys.exit(rc)
+
+
+def _deadline(signum=None, frame=None) -> None:
+    RESULT["extra"]["deadline_expired"] = True
+    _log(f"DEADLINE ({BUDGET_S:.0f}s) — emitting partial result")
+    _emit(0)
+
+
+def _watchdog() -> None:
+    """Hard backstop for a transport hang: a SIGALRM handler only runs
+    between Python bytecodes, and the remote tunnel has been observed
+    hanging whole processes inside a blocking device fetch
+    (BENCH_NOTES.md) — a daemon thread can still print the partial
+    JSON and _exit."""
+    end = _T0 + BUDGET_S + 10.0
+    while not _EMITTED:
+        left = end - time.time()
+        if left <= 0:
+            RESULT["extra"]["deadline_expired"] = "hard(watchdog)"
+            print(json.dumps(RESULT), flush=True)
+            sys.stderr.write("# watchdog: hard deadline — process hung\n")
+            sys.stderr.flush()
+            os._exit(0)
+        time.sleep(min(left, 5.0))
+
+
+def _phase(name: str, min_secs: float = 60.0) -> bool:
+    """Enter a phase if the budget plausibly allows it; log either way."""
+    RESULT["extra"]["phase_reached"] = name
+    if _remaining() < min_secs:
+        _log(f"phase {name}: SKIPPED ({_remaining():.0f}s left "
+             f"< {min_secs:.0f}s estimate)")
+        RESULT["extra"][f"skipped_{name}"] = True
+        return False
+    _log(f"phase {name}: start ({_remaining():.0f}s left)")
+    return True
 
 
 def device_bw_gbps() -> float:
+    from libdwt_tpu.autotune import _nominal_bw_gbps
+
+    return _nominal_bw_gbps()
+
+
+def measured_bw_gbps() -> float:
     kind = jax.devices()[0].device_kind.lower()
-    for key, bw in _BW_GBPS.items():
+    for key, bw in MEASURED_COPY_GBPS.items():
         if key in kind:
             return bw
-    return 819.0  # conservative default
+    return 0.7 * device_bw_gbps()  # typical effective/nominal ratio
 
 
 def _fenced_time(fn, *args):
@@ -123,6 +215,8 @@ def _measure_per_frame(fn_a, args_a, fn_b, args_b):
 
     one_pass()
     for _ in range(2):
+        if _remaining() < 60.0:
+            break  # keep the spaced re-passes inside the budget
         time.sleep(10)
         one_pass()
 
@@ -146,24 +240,38 @@ def _tree_max_abs_diff(a, b):
 def _gates(xs, rec, gate_results):
     """On-device reference-twin validation of the *measured* kernels.
     Each gate is one jitted program; failures are recorded (and fatal
-    for the headline metric)."""
+    for the headline metric).  Gates are ORDERED most-load-bearing
+    first so a deadline expiry still validates the headline path."""
     from libdwt_tpu.api import wavedec2
     from libdwt_tpu.ops.fused import fused_dwt2_level
     from libdwt_tpu.ops.separable import dwt2_level
 
-    def gate(name, fn):
+    def gate(name, fn, min_secs=45.0):
+        if _remaining() < min_secs:
+            gate_results[name] = "skipped(deadline)"
+            _log(f"gate {name}: skipped(deadline)")
+            return
+        t0 = time.time()
         try:
             fn()
             gate_results[name] = "ok"
         except Exception as e:  # noqa: BLE001 - record any failure mode
             gate_results[name] = f"FAIL: {type(e).__name__}: {e}"
+        _log(f"gate {name}: {gate_results[name][:80]} "
+             f"({time.time() - t0:.1f}s)")
 
     # every gate input is produced by a JITTED program: one eager
     # dispatch would poison the process (CLAUDE.md timing landmine) —
     # harmless here (timing is done) but the docstring's protocol holds
     x0 = jax.jit(lambda a: a[0])(xs)
 
-    # 1. the fused Pallas 4K J=5 pyramid vs the separable oracle,
+    # 1. the timed reconstruction must round-trip the original frames
+    # (cheapest, validates the whole timed fwd+inv chain)
+    def g_roundtrip_4k():
+        d = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(rec, xs))
+        assert d <= 1e-3, f"4K fwd+inv round trip max|err|={d}"
+
+    # 2. the fused Pallas 4K J=5 pyramid vs the separable oracle,
     # on-device (run explicitly: the measured path follows the tuned
     # dispatch table and may legitimately be the separable one)
     def g_fused_vs_oracle():
@@ -176,7 +284,7 @@ def _gates(xs, rec, gate_results):
         d = float(jax.jit(_tree_max_abs_diff)(fus, sep))
         assert d <= 5e-4, f"fused vs oracle max|diff|={d}"
 
-    # 1b. the streamed (manual-DMA) pyramid + reconstruction, on-device
+    # 2b. the streamed (manual-DMA) pyramid + reconstruction, on-device
     def g_streamed_vs_oracle():
         from libdwt_tpu.ops.streamed import (
             streamed_waverec2, streamed_wavedec2,
@@ -188,14 +296,31 @@ def _gates(xs, rec, gate_results):
         )(x0)
         d = float(jax.jit(_tree_max_abs_diff)(st, sep))
         assert d <= 5e-4, f"streamed vs oracle max|diff|={d}"
-        rec = jax.jit(lambda c: streamed_waverec2(c, "cdf97"))(st)
-        dr = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(rec, x0))
+        rec2 = jax.jit(lambda c: streamed_waverec2(c, "cdf97"))(st)
+        dr = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(rec2, x0))
         assert dr <= 1e-3, f"streamed round trip max|err|={dr}"
 
-    # 2. the timed reconstruction must round-trip the original frames
-    def g_roundtrip_4k():
-        d = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(rec, xs))
-        assert d <= 1e-3, f"4K fwd+inv round trip max|err|={d}"
+    # 2c. the MXU banded-matmul pyramid + reconstruction at 4K, the
+    # round-3 engineering product, validated on the machine it was
+    # built for (bf16-split tolerance, BENCH_NOTES.md round-3)
+    def g_mxu_vs_oracle():
+        from libdwt_tpu.ops.streamed import (
+            streamed_waverec2, streamed_wavedec2,
+        )
+
+        st = jax.jit(
+            lambda a: streamed_wavedec2(a, "cdf97", LEVELS, body="mxu")
+        )(x0)
+        sep = jax.jit(
+            lambda a: wavedec2(a, "cdf97", LEVELS, impl="separable")
+        )(x0)
+        d = float(jax.jit(_tree_max_abs_diff)(st, sep))
+        assert d <= 2e-3, f"mxu vs oracle max|diff|={d}"
+        rec2 = jax.jit(
+            lambda c: streamed_waverec2(c, "cdf97", body="mxu")
+        )(st)
+        dr = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(rec2, x0))
+        assert dr <= 2e-3, f"mxu round trip max|err|={dr}"
 
     # 3. integer fused level, bit-exact, at a sub-1024 size (real-TPU
     # exposure for the int Pallas path and the small-size geometry)
@@ -243,73 +368,85 @@ def _gates(xs, rec, gate_results):
         d = float(jax.jit(_tree_max_abs_diff)(got, want))
         assert d <= 5e-4, f"3-D dispatch vs oracle max|diff|={d}"
 
-    gate("fused_vs_oracle_4k", g_fused_vs_oracle)
-    gate("streamed_vs_oracle_4k", g_streamed_vs_oracle)
     gate("roundtrip_4k", g_roundtrip_4k)
+    gate("fused_vs_oracle_4k", g_fused_vs_oracle, min_secs=90.0)
+    gate("streamed_vs_oracle_4k", g_streamed_vs_oracle, min_secs=120.0)
+    gate("mxu_vs_oracle_4k", g_mxu_vs_oracle, min_secs=120.0)
     gate("int_fused_512", g_int_fused)
     gate("odd_fused_513x511", g_odd_fused)
     gate("baseline_roundtrips", g_baseline_roundtrips)
-    gate("vol_vs_oracle", g_vol_vs_oracle)
+    gate("vol_vs_oracle", g_vol_vs_oracle, min_secs=60.0)
 
 
-def _ensure_tuned(h: int, w: int) -> bool:
-    """The timed path follows the measured dispatch table; a missing or
-    PARTIAL bucket entry (one whose candidate comparison never ran a
-    strategy the geometry supports — e.g. a run that died between
-    candidates) would make 'auto' time a known-slower kernel.  Re-tune
-    the bench bucket in-process in that case: same honest chain-slope
-    protocol, winner persisted for dispatch.  Returns True if a re-tune
-    ran."""
+#: gates whose failure (as opposed to deadline-skip) zeroes the
+#: headline claim: they validate the actual timed 4K paths.
+_CORE_GATES = ("roundtrip_4k", "fused_vs_oracle_4k")
+
+
+def _check_tuned(h: int, w: int) -> dict:
+    """REPORT (never fix) the dispatch-table state for the bench
+    bucket: bench must not compile tuning candidates in-process (a
+    cold candidate costs 20-60 s and the known-pathological ones hang
+    Mosaic's compiler for tens of minutes, BENCH_NOTES.md).  The table
+    ships pre-measured; re-tune offline with tools/tune.py."""
     from libdwt_tpu import autotune
-    from libdwt_tpu.ops.fused import fused_supported
-    from libdwt_tpu.ops.streamed import streamed_supported
 
+    info = {"bucket": None, "complete": False, "warnings": []}
     b = autotune._bucket(h, w)
+    info["bucket"] = b
     if b is None:
-        return False
+        return info
     table = autotune._load_disk().get(autotune._device_kind(), {})
-    expected = {"separable"}
-    if fused_supported("cdf97"):
-        expected.add("fused")
-    streamed_ok = streamed_supported((h, w), "cdf97", 256, levels=2)
-    if streamed_ok:
-        expected.add("streamed")
-    need = False
+    missing = []
     for suffix in ("", ":inv"):
-        want = set(expected)
-        if suffix == "" and streamed_ok:
-            # forward-only candidate (the inverse 'streamed' already
-            # resolves to the MXU body for float32)
-            want.add("streamed-mxu")
         entry = table.get(f"{b}:float32:cdf97{suffix}")
-        if entry is None:
-            need = True
-            continue
-        # a candidate that failed to compile on this device still counts
-        # as attempted (tune_dispatch records it under 'failed') — but
-        # only while the environment that failed is the CURRENT one: a
-        # jax/Mosaic upgrade may have fixed the compile, so a stale
-        # stamp re-tries the candidate instead of pinning dispatch to
-        # the slower winner forever
-        failed = entry.get("failed", {})
-        if failed and entry.get("failed_jax") != jax.__version__:
-            failed = {}
-        tried = set(entry.get("secs", {})) | set(failed)
-        if not want <= tried:
-            need = True
-    if need:
-        print(f"# re-tuning bucket {b} (missing/partial entry)",
-              file=sys.stderr)
-        autotune.tune_dispatch(sizes=(b,), levels=LEVELS, trials=6)
-    return need
+        if entry is None or "secs" not in entry:
+            missing.append(suffix or "fwd")
+    info["complete"] = not missing
+    if missing:
+        info["warnings"].append(
+            f"bucket {b} untuned for {missing}; 'auto' falls back to "
+            "the nearest tuned bucket / built-in threshold")
+    info["warnings"].extend(
+        autotune.validate_table(table, autotune._nominal_bw_gbps()))
+    for wmsg in info["warnings"]:
+        _log(f"dispatch table: {wmsg}")
+    return info
 
 
 def main():
+    signal.signal(signal.SIGALRM, _deadline)
+    signal.alarm(int(BUDGET_S))
+    import threading
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     from libdwt_tpu.api import wavedec2, waverec2
 
     h = (H // (1 << LEVELS)) * (1 << LEVELS)
     w = (W // (1 << LEVELS)) * (1 << LEVELS)
-    retuned = _ensure_tuned(h, w)
+    extra = RESULT["extra"]
+    extra["frame"] = [h, w]
+    extra["chains"] = [CHAIN_A, CHAIN_B]
+    extra["budget_s"] = BUDGET_S
+    extra["tuned"] = _check_tuned(h, w)
+
+    # rooflines first — they need no device work and every partial
+    # emission should carry them.  Minimal HBM traffic for the level
+    # pyramid: level j reads+writes h*w/4^j pixels at 4B each.
+    bytes_per_pixel = sum(8.0 / 4**j for j in range(LEVELS))
+    nominal_bw = device_bw_gbps()
+    measured_bw = measured_bw_gbps()
+    roofline_mpix_s = nominal_bw * 1e9 / bytes_per_pixel / 1e6
+    roofline_measured = measured_bw * 1e9 / bytes_per_pixel / 1e6
+    target = 0.9 * roofline_mpix_s
+    target_measured = 0.9 * roofline_measured
+    extra["roofline_mpix_s"] = {
+        "nominal": round(roofline_mpix_s, 1),
+        "measured_achievable": round(roofline_measured, 1),
+        "bw_gbps": {"nominal": nominal_bw, "measured_copy": measured_bw},
+    }
+
     rng = np.random.RandomState(0)
     xs_a = jnp.asarray(rng.rand(CHAIN_A, h, w).astype(np.float32))
     xs_b = jnp.asarray(rng.rand(CHAIN_B, h, w).astype(np.float32))
@@ -362,137 +499,139 @@ def main():
         rec = jax.lax.scan(body, None, coeffs)[1]
         return _checksum(rec), rec
 
-    fwd = jax.jit(fwd_chain)
-    inv = jax.jit(inv_chain)
-
-    cs, coeffs_a = jax.jit(fwd_mat)(xs_a)
-    float(cs)
-    cs, coeffs_b = jax.jit(fwd_mat)(xs_b)
-    float(cs)
-    cs, rec_b = jax.jit(inv_mat)(coeffs_b)
-    float(cs)
-
-    for _ in range(WARMUP):
-        float(fwd(xs_a)[0])
-        float(fwd(xs_b)[0])
-    best_fwd, raw_fa, raw_fb, fwd_fallback = _measure_per_frame(
-        fwd, (xs_a,), fwd, (xs_b,)
-    )
-
-    for _ in range(WARMUP):
-        float(inv(coeffs_a)[0])
-        float(inv(coeffs_b)[0])
-    best_inv, raw_ia, raw_ib, inv_fallback = _measure_per_frame(
-        inv, (coeffs_a,), inv, (coeffs_b,)
-    )
-
-    mpix_fwd = (h * w) / best_fwd / 1e6
-    mpix_inv = (h * w) / best_inv / 1e6
-
-    # 3-D volume rate (fused single-pass volume kernel), same protocol
-    # at volume-sized chains.
-    from libdwt_tpu.api import wavedec3
-
-    KV_A, KV_B = 4, 12
-    vz, vy, vx = 64, 512, 512
-    vols_a = jnp.asarray(rng.rand(KV_A, vz, vy, vx).astype(np.float32))
-    vols_b = jnp.asarray(rng.rand(KV_B, vz, vy, vx).astype(np.float32))
-
-    def vol_chain(stack):
-        def body(_, v):
-            return None, _checksum(wavedec3(v, "cdf97", 2))
-
-        return jnp.sum(jax.lax.scan(body, None, stack)[1]), 0
-
-    vfwd = jax.jit(vol_chain)
-    for _ in range(WARMUP):
-        float(vfwd(vols_a)[0])
-        float(vfwd(vols_b)[0])
-    tva = tvb = float("inf")
-    for _ in range(TRIALS):
-        tva = min(tva, _fenced_time(vfwd, vols_a))
-        tvb = min(tvb, _fenced_time(vfwd, vols_b))
-    vslope = (tvb - tva) / (KV_B - KV_A)
-    if not (0.0 < vslope <= tvb / KV_B):
-        vslope = tvb / KV_B
-    mvox_s = (vz * vy * vx) / vslope / 1e6
-
-    gate_results = {}
-    _gates(xs_b, rec_b, gate_results)
-    gates_ok = all(v == "ok" for v in gate_results.values())
-
     # record which impl the tuned 'auto' dispatch actually timed
     from libdwt_tpu.api import _pick_impl
 
-    auto_impl = {
+    extra["auto_impl"] = {
         "fwd": _pick_impl(h, w, "cdf97", None, jnp.float32, "fwd", LEVELS),
         "inv": _pick_impl(h, w, "cdf97", None, jnp.float32, "inv", LEVELS),
     }
+    _log(f"auto dispatch: {extra['auto_impl']}")
 
-    # Minimal HBM traffic for the level pyramid: level j reads+writes
-    # h*w/4^j pixels at 4B each.
-    bytes_per_pixel = sum(8.0 / 4**j for j in range(LEVELS))
-    roofline_mpix_s = device_bw_gbps() * 1e9 / bytes_per_pixel / 1e6
-    target = 0.9 * roofline_mpix_s
+    # ---------------------------------------------- phase 1: forward
+    _phase("fwd_compile", min_secs=0.0)  # never skipped: it IS the metric
+    fwd = jax.jit(fwd_chain)
+    for _ in range(WARMUP):
+        float(fwd(xs_a)[0])
+        float(fwd(xs_b)[0])
+    _phase("fwd_measure", min_secs=0.0)
+    best_fwd, raw_fa, raw_fb, fwd_fallback = _measure_per_frame(
+        fwd, (xs_a,), fwd, (xs_b,)
+    )
+    mpix_fwd = (h * w) / best_fwd / 1e6
+    extra["fwd_ms_per_frame"] = round(best_fwd * 1e3, 4)
+    extra["raw_chain_ms"] = {
+        "fwd": [round(raw_fa * 1e3, 3), round(raw_fb * 1e3, 3)]}
+    extra["slope_fallback"] = {"fwd": fwd_fallback}
+    implied_bw = mpix_fwd * 1e6 * 8.0 / 1e9
+    extra["implied_bw_gbps"] = round(implied_bw, 1)
+    RESULT["value"] = round(mpix_fwd, 1)
+    _log(f"fwd: {best_fwd * 1e3:.3f} ms/frame = {mpix_fwd:.0f} Mpix/s")
 
-    # A failed correctness gate invalidates the speed claim.  So does a
+    # ---------------------------------------------- phase 2: inverse
+    mpix_inv = 0.0
+    coeffs_a = coeffs_b = None
+    if _phase("inverse", min_secs=240.0):
+        cs, coeffs_a = jax.jit(fwd_mat)(xs_a)
+        float(cs)
+        cs, coeffs_b = jax.jit(fwd_mat)(xs_b)
+        float(cs)
+        inv = jax.jit(inv_chain)
+        for _ in range(WARMUP):
+            float(inv(coeffs_a)[0])
+            float(inv(coeffs_b)[0])
+        best_inv, raw_ia, raw_ib, inv_fallback = _measure_per_frame(
+            inv, (coeffs_a,), inv, (coeffs_b,)
+        )
+        mpix_inv = (h * w) / best_inv / 1e6
+        extra["inverse_mpix_s"] = round(mpix_inv, 1)
+        extra["inverse_vs_target"] = round(mpix_inv / target, 4)
+        extra["inv_ms_per_frame"] = round(best_inv * 1e3, 4)
+        extra["raw_chain_ms"]["inv"] = [
+            round(raw_ia * 1e3, 3), round(raw_ib * 1e3, 3)]
+        extra["slope_fallback"]["inv"] = inv_fallback
+        extra["implied_bw_inv_gbps"] = round(mpix_inv * 1e6 * 8.0 / 1e9, 1)
+        _log(f"inv: {best_inv * 1e3:.3f} ms/frame = {mpix_inv:.0f} Mpix/s")
+
+    # ---------------------------------------------- phase 3: 3-D volume
+    mvox_s = 0.0
+    if _phase("volume", min_secs=240.0):
+        from libdwt_tpu.api import wavedec3
+
+        KV_A, KV_B = 4, 12
+        vz, vy, vx = 64, 512, 512
+        vols_a = jnp.asarray(rng.rand(KV_A, vz, vy, vx).astype(np.float32))
+        vols_b = jnp.asarray(rng.rand(KV_B, vz, vy, vx).astype(np.float32))
+
+        def vol_chain(stack):
+            def body(_, v):
+                return None, _checksum(wavedec3(v, "cdf97", 2))
+
+            return jnp.sum(jax.lax.scan(body, None, stack)[1]), 0
+
+        vfwd = jax.jit(vol_chain)
+        for _ in range(WARMUP):
+            float(vfwd(vols_a)[0])
+            float(vfwd(vols_b)[0])
+        tva = tvb = float("inf")
+        for _ in range(TRIALS):
+            tva = min(tva, _fenced_time(vfwd, vols_a))
+            tvb = min(tvb, _fenced_time(vfwd, vols_b))
+        vslope = (tvb - tva) / (KV_B - KV_A)
+        if not (0.0 < vslope <= tvb / KV_B):
+            vslope = tvb / KV_B
+        mvox_s = (vz * vy * vx) / vslope / 1e6
+        extra["fwd3d_mvox_s"] = round(mvox_s, 1)
+        extra["volume"] = [vz, vy, vx]
+        extra["implied_bw_vol_gbps"] = round(mvox_s * 1e6 * 8.0 / 1e9, 1)
+        _log(f"vol: {mvox_s:.0f} Mvox/s")
+
+    # ---------------------------------------------- phase 4: gates
+    gate_results = RESULT["extra"]["gates"]
+    rec_b = None
+    if coeffs_b is not None and _phase("gates", min_secs=120.0):
+        cs, rec_b = jax.jit(inv_mat)(coeffs_b)
+        float(cs)
+        _gates(xs_b, rec_b, gate_results)
+    elif coeffs_b is None:
+        gate_results["all"] = "skipped(deadline: no materialized coeffs)"
+
+    # a failed CORE gate invalidates the speed claim; a deadline-skip
+    # leaves the claim standing but marked unvalidated.  So does a
     # physically impossible implied bandwidth (the transport has been
     # seen acknowledging work it had not finished): the fused pyramid
     # moves >= ~8 B/pixel, so implied BW far above spec means the
     # completion fence failed, not that the kernel is fast.
-    implied_bw = mpix_fwd * 1e6 * 8.0 / 1e9
-    implied_bw_inv = mpix_inv * 1e6 * 8.0 / 1e9
-    implied_bw_vol = mvox_s * 1e6 * 8.0 / 1e9
+    ran = [v for v in gate_results.values() if not v.startswith("skipped")]
+    gates_ok = bool(ran) and all(v == "ok" for v in ran)
+    core_failed = any(
+        gate_results.get(g, "").startswith("FAIL") for g in _CORE_GATES
+    )
     suspect = (
-        max(implied_bw, implied_bw_inv, implied_bw_vol)
-        > 1.3 * device_bw_gbps()
+        max(implied_bw,
+            extra.get("implied_bw_inv_gbps", 0.0),
+            extra.get("implied_bw_vol_gbps", 0.0))
+        > 1.3 * nominal_bw
     )
-    vs_baseline = (mpix_fwd / target) if gates_ok and not suspect else 0.0
-    metrics_valid = gates_ok and not suspect
+    metrics_valid = gates_ok and not core_failed and not suspect
+    vs_baseline = (mpix_fwd / target) if metrics_valid else 0.0
+    RESULT["vs_baseline"] = round(vs_baseline, 4)
+    extra["vs_target_measured_achievable"] = (
+        round(mpix_fwd / target_measured, 4) if metrics_valid else 0.0)
+    extra["suspect"] = suspect
+    extra["metrics_valid"] = metrics_valid
+    extra["phase_reached"] = "done"
+    extra["total_s"] = round(_elapsed(), 1)
 
-    print(
-        json.dumps(
-            {
-                "metric": "cdf97_2d_fwd_4k_j5_f32",
-                "value": round(mpix_fwd, 1),
-                "unit": "Mpix/s",
-                "vs_baseline": round(vs_baseline, 4),
-                "extra": {
-                    "auto_impl": auto_impl,
-                    "inverse_mpix_s": round(mpix_inv, 1),
-                    "inverse_vs_target": round(mpix_inv / target, 4),
-                    "fwd3d_mvox_s": round(mvox_s, 1),
-                    "volume": [vz, vy, vx],
-                    "chains": [CHAIN_A, CHAIN_B],
-                    "frame": [h, w],
-                    "fwd_ms_per_frame": round(best_fwd * 1e3, 4),
-                    "inv_ms_per_frame": round(best_inv * 1e3, 4),
-                    "raw_chain_ms": {
-                        "fwd": [round(raw_fa * 1e3, 3), round(raw_fb * 1e3, 3)],
-                        "inv": [round(raw_ia * 1e3, 3), round(raw_ib * 1e3, 3)],
-                    },
-                    "slope_fallback": {
-                        "fwd": fwd_fallback, "inv": inv_fallback,
-                    },
-                    "implied_bw_gbps": round(implied_bw, 1),
-                    "implied_bw_inv_gbps": round(implied_bw_inv, 1),
-                    "implied_bw_vol_gbps": round(implied_bw_vol, 1),
-                    "suspect": suspect,
-                    "metrics_valid": metrics_valid,
-                    "retuned": retuned,
-                    "gates": gate_results,
-                },
-            }
-        )
+    _log(
+        f"device={jax.devices()[0].device_kind} "
+        f"fwd={best_fwd * 1e3:.3f} ms "
+        f"roofline(nominal)={roofline_mpix_s:.0f} "
+        f"roofline(measured)={roofline_measured:.0f} Mpix/s "
+        f"target(90% nominal)={target:.0f}"
     )
-    print(
-        f"# device={jax.devices()[0].device_kind} fwd={best_fwd*1e3:.3f} ms "
-        f"inv={best_inv*1e3:.3f} ms roofline={roofline_mpix_s:.0f} Mpix/s "
-        f"target(90%)={target:.0f}",
-        file=sys.stderr,
-    )
-    if not gates_ok:
-        sys.exit(1)
+    signal.alarm(0)
+    _emit(0 if not core_failed else 1)
 
 
 if __name__ == "__main__":

@@ -148,9 +148,20 @@ def _use_fused(
 def dwt2(x, wavelet="cdf97", impl: Optional[str] = None):
     """Single-level 2-D forward transform -> (LL, HL, LH, HH)."""
     h, w = x.shape[-2], x.shape[-1]
+    if impl == "streamed-mxu":
+        # honour-or-raise: the MXU body only exists for the 2-level+
+        # kernels, and silently running different code than the caller
+        # named would hide the precision difference
+        raise ValueError(
+            "impl='streamed-mxu' applies to multi-level transforms only "
+            "(wavedec2/waverec2); use impl='streamed' for single levels"
+        )
     choice = _pick_impl(h, w, wavelet, impl, x.dtype)
     if choice == "streamed-mxu":
-        choice = "streamed"  # the MXU body only exists for the 2-level+
+        # an 'auto'/global-default choice (not an explicit request) may
+        # land here via the size-bucket fallback; the streamed polyphase
+        # body is the single-level equivalent
+        choice = "streamed"
     if choice in ("fused", "streamed"):
         interp = not _on_tpu()
         if choice == "streamed":
@@ -186,9 +197,15 @@ def idwt2(ll, hl, lh, hh, wavelet="cdf97", impl: Optional[str] = None,
     w = ll.shape[-1] + hh.shape[-1]
     if border != "mirror":
         return _sep.idwt2_level(ll, hl, lh, hh, wavelet, border=border)
+    if impl == "streamed-mxu":
+        raise ValueError(
+            "impl='streamed-mxu' applies to multi-level transforms only "
+            "(wavedec2/waverec2); use impl='streamed' for single levels"
+        )
     choice = _pick_impl(h, w, wavelet, impl, ll.dtype, direction="inv")
     if choice == "streamed-mxu":
-        choice = "streamed"  # the MXU body only exists for the 2-level+
+        # 'auto'/global-default bucket fallback; see dwt2
+        choice = "streamed"
     if choice in ("fused", "streamed"):
         interp = not _on_tpu()
         if choice == "streamed":
@@ -262,6 +279,12 @@ def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None,
              border: str = "mirror"):
     """Inverse of :func:`wavedec2`.  On TPU large reconstructions route
     through the multi-scale fused inverse (two levels per HBM pass).
+
+    Precision: the VPU polyphase kernels round-trip to ~1e-5; the MXU
+    banded-matmul synthesis (``impl='streamed-mxu'``, and the body the
+    streamed path auto-selects at 4K-class float32 geometry where the
+    polyphase synthesis cannot compile) is bf16-split and rounds at
+    ~2e-4..5e-4 — see ops.streamed._resolve_inv_body.
 
     ``border`` gives the reference's sparse-reconstruction inverses:
     'hole' = dwt_cdf97_2i_inplace_hole_s, 'zero' =

@@ -38,6 +38,7 @@ __all__ = [
     "tune_dispatch",
     "dispatch_choice",
     "tune_file",
+    "validate_table",
 ]
 
 _CACHE: Dict[Tuple, Dict] = {}
@@ -68,6 +69,26 @@ def _device_kind() -> str:
         return jax.devices()[0].device_kind
     except Exception:
         return "unknown"
+
+
+#: nominal HBM bandwidth per chip, GB/s (public specs) — plausibility
+#: ceiling for measured timings (bench.py reports rooflines from it).
+_BW_GBPS = {
+    "v4": 1228.0,
+    "v5 lite": 819.0,
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v6 lite": 1640.0,
+    "v6e": 1640.0,
+}
+
+
+def _nominal_bw_gbps() -> float:
+    kind = _device_kind().lower()
+    for key, bw in _BW_GBPS.items():
+        if key in kind:
+            return bw
+    return 819.0  # conservative default
 
 
 def _packaged_table() -> str:
@@ -214,15 +235,27 @@ def _pyramid_candidates(wavelet, levels: int, direction: str = "fwd",
              lambda a: fused_waverec2(sep_wavedec2(a, wavelet, levels), wavelet))
         )
     if streamed_ok:
-        # no separate mxu inverse candidate: streamed_waverec2's default
-        # body='auto' already resolves to the MXU synthesis for float32
-        # (the polyphase inverse OOM-kills Mosaic at 4K-class geometry,
-        # see ops.streamed._resolve_inv_body)
-        cands.append(
-            ("streamed",
-             lambda a: streamed_waverec2(sep_wavedec2(a, wavelet, levels),
-                                         wavelet))
-        )
+        from libdwt_tpu.ops.banded import mxu_supported
+        from libdwt_tpu.ops.streamed import poly_inv_compile_safe
+
+        # 'streamed' is the exact VPU polyphase synthesis — only a
+        # candidate where it is known to COMPILE (Mosaic OOM-kills its
+        # compiler on it at 4K-class geometry, ops.streamed.
+        # poly_inv_compile_safe); 'streamed-mxu' is the banded-matmul
+        # synthesis (bf16-split, ~2e-4), measured separately so the
+        # table records the crossover between the two bodies.
+        if poly_inv_compile_safe(*shape):
+            cands.append(
+                ("streamed",
+                 lambda a: streamed_waverec2(
+                     sep_wavedec2(a, wavelet, levels), wavelet, body="poly"))
+            )
+        if mxu_supported(wavelet, dtype):
+            cands.append(
+                ("streamed-mxu",
+                 lambda a: streamed_waverec2(
+                     sep_wavedec2(a, wavelet, levels), wavelet, body="mxu"))
+            )
     return cands
 
 
@@ -243,7 +276,14 @@ def _chain_slope_secs(frame_fn, stacks: Dict, trials: int = 8):
     between the two lengths cancels the transport's fixed round-trip
     cost, inside which short-chain execution can hide entirely (see
     bench.py).  ``stacks`` maps chain length -> stacked inputs
-    (:func:`_make_stacks`)."""
+    (:func:`_make_stacks`).
+
+    Returns ``(secs, kind)`` with kind 'slope' (a real execution-time
+    measurement) or 'upper' (the long chain's mean — the fallback when
+    execution hid inside the transport's fixed cost; an upper BOUND
+    containing that fixed cost, fine for same-bucket ranking but not
+    comparable across sizes).  The kind is persisted with the entry so
+    :func:`validate_table` knows which numbers are measurements."""
     import time
 
     ka, kb = sorted(stacks)
@@ -274,7 +314,119 @@ def _chain_slope_secs(frame_fn, stacks: Dict, trials: int = 8):
     # a near-zero slope means the execution hid inside the fixed
     # transport cost (small sizes) — the chain average is then the
     # honest (if pessimistic) estimator for ranking
-    return slope if 0.05 * upper < slope <= upper else upper
+    if 0.05 * upper < slope <= upper:
+        return slope, "slope"
+    return upper, "upper"
+
+
+#: an entry's winner must be within this factor of the runner-up; a
+#: larger gap between kernels doing the same arithmetic is a timing
+#: artifact (cross-process drift, a bad dispatch window), not physics.
+_PLAUSIBLE_WIN_FACTOR = 8.0
+#: implied bandwidth may exceed the device's nominal HBM bandwidth by
+#: at most this factor before the measurement is called impossible.
+_PLAUSIBLE_BW_FACTOR = 1.3
+def _entry_pixels(entry, bucket: int) -> int:
+    m = entry.get("measured_at", bucket)
+    if isinstance(m, (list, tuple)):
+        return int(m[0]) * int(m[1])
+    return int(m) * int(m)
+
+
+def _drop_implausible(rows: Dict, pixels: int, direction: str,
+                      bw_gbps: float) -> Dict:
+    """Remove physically impossible candidate timings before picking a
+    winner: implied HBM traffic above the device's bandwidth, or a
+    'winner' implausibly far ahead of the runner-up (both are signatures
+    of a failed completion fence / polluted dispatch window, the
+    contamination CLAUDE.md warns about).  Returns the surviving rows
+    (never empties a single-candidate dict)."""
+    import sys
+
+    # fwd candidates move >= 8 B/pixel; inv candidates time fwd+inv
+    bytes_pp = 8.0 if direction == "fwd" else 16.0
+    floor_secs = pixels * bytes_pp / (bw_gbps * _PLAUSIBLE_BW_FACTOR * 1e9)
+    rows = dict(rows)
+    for name in [n for n, s in rows.items() if s < floor_secs]:
+        if len(rows) == 1:
+            break
+        print(f"tune: dropping {name}={rows[name]:.3g}s (implies "
+              f"> {_PLAUSIBLE_BW_FACTOR:g}x device bandwidth)",
+              file=sys.stderr)
+        del rows[name]
+    while len(rows) >= 2:
+        order = sorted(rows, key=rows.get)
+        best, second = rows[order[0]], rows[order[1]]
+        if best * _PLAUSIBLE_WIN_FACTOR >= second:
+            break
+        print(f"tune: dropping {order[0]}={best:.3g}s "
+              f"({second / best:.0f}x ahead of the runner-up — timing "
+              "artifact)", file=sys.stderr)
+        del rows[order[0]]
+    return rows
+
+
+def validate_table(mine: Dict, bw_gbps: float = 819.0) -> list:
+    """Consistency findings for one device kind's dispatch table (empty
+    list = plausible).  Flags (a) entries whose winner implies more than
+    ~device bandwidth, (b) winners implausibly far ahead of their
+    runner-up, (c) a candidate whose SLOPE-measured absolute per-frame
+    time DECREASES as the frame grows between adjacent buckets (more
+    pixels cannot take less time) — all signatures of measurements
+    taken in different dispatch windows (the cross-process drift
+    CLAUDE.md documents) that would pin wrong dispatch winners.
+
+    'upper'-kind estimates (entry['estimator']; the transport-floor
+    bound _chain_slope_secs falls back to when execution hides inside
+    the fixed dispatch cost) are bounds, not measurements: they rank
+    candidates within their own bucket but are exempt from the
+    cross-bucket check.  Entries with no estimator map (legacy tables)
+    are treated as slope-measured."""
+    findings = []
+    families: Dict[Tuple, Dict[int, Tuple[Dict, Dict]]] = {}
+    for key, entry in mine.items():
+        parts = key.split(":")
+        if not parts[0].isdigit() or "secs" not in entry:
+            continue
+        bucket = int(parts[0])
+        fam = tuple(parts[1:])
+        rows = entry["secs"]
+        kinds = entry.get("estimator", {})
+        winner = min(rows, key=rows.get)
+        best = rows[winner]
+        pixels = _entry_pixels(entry, bucket)
+        bytes_pp = 8.0 if "inv" not in parts else 16.0
+        implied = pixels * bytes_pp / best / 1e9
+        if implied > bw_gbps * _PLAUSIBLE_BW_FACTOR:
+            findings.append(
+                f"{key}: winner {winner}={best:.3g}s implies "
+                f"{implied:.0f} GB/s (> {_PLAUSIBLE_BW_FACTOR:g}x device "
+                f"bandwidth {bw_gbps:.0f})")
+        if len(rows) >= 2:
+            second = sorted(rows.values())[1]
+            if best * _PLAUSIBLE_WIN_FACTOR < second:
+                findings.append(
+                    f"{key}: winner {winner}={best:.3g}s is "
+                    f"{second / best:.0f}x ahead of the runner-up "
+                    f"({second:.3g}s) — timing artifact")
+        families.setdefault(fam, {})[bucket] = (rows, kinds)
+    for fam, by_bucket in families.items():
+        buckets = sorted(by_bucket)
+        for b1, b2 in zip(buckets, buckets[1:]):
+            rows1, kinds1 = by_bucket[b1]
+            rows2, kinds2 = by_bucket[b2]
+            for cand in set(rows1) & set(rows2):
+                if (kinds1.get(cand, "slope") != "slope"
+                        or kinds2.get(cand, "slope") != "slope"):
+                    continue
+                s1, s2 = rows1[cand], rows2[cand]
+                if s1 > s2 * 1.2:
+                    findings.append(
+                        f"{':'.join(fam)}: {cand} takes {s1:.3g}s at "
+                        f"bucket {b1} but only {s2:.3g}s at the LARGER "
+                        f"bucket {b2} — measured in different dispatch "
+                        "windows?")
+    return findings
 
 
 def tune_dispatch(
@@ -288,35 +440,44 @@ def tune_dispatch(
     """Measure the full-pyramid separable-vs-fused crossover at each
     size bucket on the live device and persist the winners; 'auto'
     dispatch then uses the measured table (the perf-driver-informed
-    accel selection of /root/reference/src/libdwt.h:1703-1726)."""
+    accel selection of /root/reference/src/libdwt.h:1703-1726).
+
+    ``sizes`` entries are square edges (int) or explicit ``(h, w)``
+    shapes — the bench tunes its bucket at the real 4K frame geometry.
+    Implausible candidate timings are dropped before the winner is
+    picked (:func:`_drop_implausible`) and the finished table is
+    checked with :func:`validate_table` (findings go to stderr)."""
+    import sys
+
     kind = _device_kind()
     wname = get_name(wavelet)
     table = dict(_load_disk())
     mine = dict(table.get(kind, {}))
+    bw = _nominal_bw_gbps()
     for n in sizes:
+        shape = (tuple(int(s) for s in n) if isinstance(n, (tuple, list))
+                 else (int(n), int(n)))
         # key by the dispatch-time bucket (a size between buckets would
         # otherwise write an entry dispatch_choice can never read)
-        b = _bucket(n, n)
+        b = _bucket(*shape)
         if b is None:
-            import sys
-
             print(f"tune: size {n} below the smallest bucket; skipped",
                   file=sys.stderr)
             continue
-        stacks = _make_stacks((n, n), dtype, 8, 32)
+        stacks = _make_stacks(shape, dtype, 8, 32)
+        pixels = shape[0] * shape[1]
         for direction in ("fwd", "inv"):
             rows = {}
+            kinds = {}
             failed = {}
             for name, frame_fn in _pyramid_candidates(
-                wavelet, levels, direction, shape=(n, n), dtype=dtype
+                wavelet, levels, direction, shape=shape, dtype=dtype
             ):
                 try:
-                    rows[name] = _chain_slope_secs(
+                    rows[name], kinds[name] = _chain_slope_secs(
                         frame_fn, stacks, trials=trials
                     )
                 except Exception as e:  # pragma: no cover - device-dependent
-                    import sys
-
                     # record the failure IN the entry: a candidate that
                     # cannot compile on this device (e.g. a Mosaic
                     # internal error) must still count as "attempted",
@@ -328,6 +489,9 @@ def tune_dispatch(
                         file=sys.stderr,
                     )
                     continue
+                print(f"tune: {n}:{direction}:{name} = "
+                      f"{rows[name]:.3e} s/frame ({kinds[name]})",
+                      file=sys.stderr)
             suffix = "" if direction == "fwd" else ":inv"
             if not rows:
                 if failed:
@@ -338,14 +502,17 @@ def tune_dispatch(
                     mine[f"{b}:{jnp.dtype(dtype).name}:{wname}{suffix}"] = {
                         "failed": failed,
                         "failed_jax": jax.__version__,
-                        "measured_at": n,
+                        "measured_at": list(shape),
                     }
                 continue
-            winner = min(rows, key=rows.get)
+            kept = _drop_implausible(rows, pixels, direction, bw)
+            winner = min(kept, key=kept.get)
             entry = {
                 "impl": winner,
                 "secs": rows,
-                "measured_at": n,
+                "estimator": kinds,
+                "measured_at": (shape[0] if shape[0] == shape[1]
+                                else list(shape)),
             }
             if failed:
                 entry["failed"] = failed
@@ -354,6 +521,8 @@ def tune_dispatch(
                 # and the candidate is re-tried
                 entry["failed_jax"] = jax.__version__
             mine[f"{b}:{jnp.dtype(dtype).name}:{wname}{suffix}"] = entry
+    for finding in validate_table(mine, bw):
+        print(f"tune: TABLE WARNING: {finding}", file=sys.stderr)
     table[kind] = mine
     if save:
         _save_disk(table)
@@ -409,11 +578,13 @@ def tune_dispatch3(
     itemsize = jnp.dtype(dtype).itemsize
     for direction in ("fwd", "inv"):
         rows = {}
+        kinds = {}
         for name, vol_fn in _volume_candidates(
             wavelet, shape3, direction, itemsize=itemsize
         ):
             try:
-                rows[name] = _chain_slope_secs(vol_fn, stacks, trials=trials)
+                rows[name], kinds[name] = _chain_slope_secs(
+                    vol_fn, stacks, trials=trials)
             except Exception as e:  # pragma: no cover - device-dependent
                 import sys
 
@@ -427,6 +598,7 @@ def tune_dispatch3(
         mine[f"vol:{jnp.dtype(dtype).name}:{wname}{suffix}"] = {
             "impl": winner,
             "secs": rows,
+            "estimator": kinds,
         }
     table[kind] = mine
     if save:

@@ -145,17 +145,35 @@ def _mxu_strip(body: str) -> int:
     return 256
 
 
-def _resolve_inv_body(body: str, wavelet, dtype) -> str:
-    """Inverse-kernel body choice.  ``'auto'`` resolves to the MXU
-    banded-matmul body for float32 (Mosaic OOM-kills its compiler on
-    the POLYPHASE synthesis at 4K-class geometry — observed
-    "tpu_compile_helper subprocess exit signal SIGKILL" after ~20 min —
-    while the matmul body compiles in minutes) and to the polyphase
-    body otherwise (integers need it bit-exact)."""
+#: largest frame (pixels) at which the POLYPHASE synthesis kernels are
+#: known to COMPILE: Mosaic OOM-kills its own compiler on them at
+#: 4K-class geometry ("tpu_compile_helper subprocess exit signal
+#: SIGKILL" after ~20 min, BENCH_NOTES.md round-3) while 2048x2048
+#: (4.2 Mpix) compiles fine.  6 Mpix splits the observed good (4.2M)
+#: and bad (2144*4096 = 8.8M) points with margin.
+POLY_INV_SAFE_PIXELS = 6 * 1024 * 1024
+
+
+def poly_inv_compile_safe(h: int, w: int) -> bool:
+    """True where the polyphase synthesis body is known to compile."""
+    return h * w <= POLY_INV_SAFE_PIXELS
+
+
+def _resolve_inv_body(body: str, wavelet, dtype, shape) -> str:
+    """Inverse-kernel body choice.  ``'auto'`` keeps the exact VPU
+    polyphase body (round-trip ~1e-5) wherever it compiles and resolves
+    to the MXU banded-matmul body (bf16-split, round-trip ~2e-4..5e-4)
+    only for float32 at the 4K-class geometries where Mosaic OOM-kills
+    its compiler on the polyphase synthesis (see
+    :data:`POLY_INV_SAFE_PIXELS`); integers always need the bit-exact
+    polyphase body."""
     if body == "auto":
         from libdwt_tpu.ops.banded import mxu_supported
 
-        return "mxu" if mxu_supported(wavelet, dtype) else "poly"
+        h, w = shape
+        if not poly_inv_compile_safe(h, w) and mxu_supported(wavelet, dtype):
+            return "mxu"
+        return "poly"
     return body
 
 
@@ -319,10 +337,11 @@ def streamed_dwt2_2level(
 
         if not mxu_supported(wavelet, x.dtype):
             raise ValueError("body='mxu' needs a float symmetric wavelet")
-    elif body not in ("poly", "copy"):
-        # 'copy' is a TIMING-ONLY control body (wrong math: quadrants
+    elif body not in ("poly", "_copy"):
+        # '_copy' is a TIMING-ONLY control body (wrong math: quadrants
         # are plain slices) measuring the pure stream floor + DMA /
-        # compute overlap; never reachable from dispatch
+        # compute overlap; the underscore keeps it out of typo reach —
+        # never reachable from dispatch
         raise ValueError(f"unknown kernel body {body!r}")
     TOP2 = 16  # level-1 keeps an 8-row channel halo above every strip
     ty = pick_strip(h, strip_rows or _mxu_strip(body))
@@ -396,7 +415,7 @@ def streamed_dwt2_2level(
                 ll2, hl2, lh2, hh2, hl1, lh1, hh1 = fwd2_strip_packed(
                     t, i, mat_refs, mats_meta, upcast=interpret
                 )
-            elif body == "copy":
+            elif body == "_copy":
                 q4 = (t[: tyw // 4, : w // 4],)
                 ll2 = hl2 = lh2 = hh2 = q4[0]
                 hl1 = lh1 = hh1 = t[: tyw // 2, : w // 2]
@@ -579,7 +598,7 @@ def streamed_idwt2_2level(
     w = hl1.shape[-1] + lh1.shape[-1]
     if h % 4 or w % 4:
         raise ValueError("needs h, w divisible by 4")
-    body = _resolve_inv_body(body, wavelet, ll2.dtype)
+    body = _resolve_inv_body(body, wavelet, ll2.dtype, (h, w))
     if body == "mxu":
         from libdwt_tpu.ops.banded import mxu_supported
 
@@ -854,10 +873,11 @@ def streamed_wavedec2_deep(
 
         if not mxu_supported(wavelet, x.dtype):
             raise ValueError("body='mxu' needs a float symmetric wavelet")
-    elif body not in ("poly", "copy"):
-        # 'copy' is a TIMING-ONLY control body (wrong math: quadrants
+    elif body not in ("poly", "_copy"):
+        # '_copy' is a TIMING-ONLY control body (wrong math: quadrants
         # are plain slices) measuring the pure stream floor + DMA /
-        # compute overlap; never reachable from dispatch
+        # compute overlap; the underscore keeps it out of typo reach —
+        # never reachable from dispatch
         raise ValueError(f"unknown kernel body {body!r}")
     deep_levels = level - 2
     TOP2 = 16
@@ -949,7 +969,7 @@ def streamed_wavedec2_deep(
                 ll2, hl2, lh2, hh2, hl1, lh1, hh1 = fwd2_strip_packed(
                     t, i, mat_refs, mats_meta, upcast=interpret
                 )
-            elif body == "copy":
+            elif body == "_copy":
                 q4 = (t[: tyw // 4, : w // 4],)
                 ll2 = hl2 = lh2 = hh2 = q4[0]
                 hl1 = lh1 = hh1 = t[: tyw // 2, : w // 2]
@@ -1127,7 +1147,7 @@ def streamed_waverec2_deep(
                 f"not match the {th}x{tw} level ({want})"
             )
 
-    body = _resolve_inv_body(body, wavelet, hl1.dtype)
+    body = _resolve_inv_body(body, wavelet, hl1.dtype, (h, w))
     ty = pick_strip(h, strip_rows or _mxu_strip(body))
     ny = -(-h // ty)
     hy, qy = ty // 2, ty // 4

@@ -128,3 +128,24 @@ def test_explicit_fused3_honoured_or_raised():
 
     with pytest.raises(ValueError):
         api.wavedec3(bad, "cdf97", 1, impl="fused")
+
+
+def test_single_level_streamed_mxu_raises():
+    """dwt2/idwt2 must honour-or-raise an explicit impl='streamed-mxu'
+    (the MXU body only exists for the 2-level+ kernels); silently
+    running the polyphase body would hide the precision difference
+    (ADVICE r3)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from libdwt_tpu.api import dwt2, idwt2
+
+    x = jnp.asarray(np.random.RandomState(0).rand(256, 256)
+                    .astype(np.float32))
+    with pytest.raises(ValueError, match="streamed-mxu"):
+        dwt2(x, "cdf97", impl="streamed-mxu")
+    from libdwt_tpu.ops.separable import dwt2_level
+
+    bands = dwt2_level(x, "cdf97")
+    with pytest.raises(ValueError, match="streamed-mxu"):
+        idwt2(*bands, wavelet="cdf97", impl="streamed-mxu")

@@ -83,3 +83,97 @@ def test_tune_dispatch_records_failed_candidates(tuned, monkeypatch):
     # the attempted set (secs + failed) covers both candidates
     tried = set(entry["secs"]) | set(entry["failed"])
     assert {"separable", "streamed"} <= tried
+
+
+def test_validate_table_flags_contamination():
+    """The round-3 packaged table shipped physically inconsistent
+    entries (a 512 'winner' 17x ahead of the runner-up, adjacent
+    buckets disagreeing 20x on per-pixel time — VERDICT.md round 3);
+    validate_table must flag exactly those signatures."""
+    mine = {
+        # winner implausibly far ahead of the runner-up
+        "512:float32:cdf97": {
+            "impl": "streamed", "measured_at": 512,
+            "secs": {"streamed": 5.47e-05, "separable": 1.08e-3,
+                     "fused": 9.95e-4},
+        },
+        # adjacent buckets disagreeing >3x per-pixel
+        "1024:float32:cdf97": {
+            "impl": "fused", "measured_at": 1024,
+            "secs": {"fused": 8.09e-4, "separable": 8.33e-4},
+        },
+        "2048:float32:cdf97": {
+            "impl": "fused", "measured_at": 2048,
+            "secs": {"fused": 1.60e-4, "separable": 1.91e-4},
+        },
+    }
+    findings = autotune.validate_table(mine, bw_gbps=819.0)
+    assert any("512:float32:cdf97" in f and "ahead of the runner-up" in f
+               for f in findings)
+    assert any("1024" in f and "2048" in f for f in findings)
+
+
+def test_validate_table_flags_impossible_bandwidth():
+    # 4096^2 pixels * 8 B in 10 us -> 13.4 TB/s, impossible on any TPU
+    mine = {"4096:float32:cdf97": {
+        "impl": "fused", "measured_at": 4096,
+        "secs": {"fused": 1e-5, "separable": 2e-5},
+    }}
+    findings = autotune.validate_table(mine, bw_gbps=819.0)
+    assert any("bandwidth" in f for f in findings)
+
+
+def test_validate_table_accepts_consistent_entries():
+    mine = {
+        "1024:float32:cdf97": {
+            "impl": "fused", "measured_at": 1024,
+            "secs": {"fused": 5.0e-5, "separable": 7.0e-5},
+        },
+        "2048:float32:cdf97": {
+            "impl": "fused", "measured_at": 2048,
+            "secs": {"fused": 1.6e-4, "separable": 1.9e-4},
+        },
+        # rectangular measured_at (the bench 4K geometry in the 2048
+        # bucket) participates via its true pixel count -- keyed by a
+        # distinct dtype so it does not collide with the square entry
+        "2048:bfloat16:cdf97": {
+            "impl": "fused", "measured_at": [2144, 4096],
+            "secs": {"fused": 3.4e-4, "separable": 4.2e-4},
+        },
+        # failed-only entries and volume keys are ignored
+        "512:float32:cdf97": {"failed": {"streamed": "MosaicError"},
+                              "failed_jax": "0.9"},
+        "vol:float32:cdf97": {"impl": "fused", "secs": {"fused": 1e-3}},
+    }
+    assert autotune.validate_table(mine, bw_gbps=819.0) == []
+
+
+def test_drop_implausible_removes_timing_artifacts():
+    rows = {"streamed": 5.47e-05, "separable": 1.08e-3, "fused": 9.95e-4}
+    kept = autotune._drop_implausible(rows, 512 * 512, "fwd", 819.0)
+    assert "streamed" not in kept
+    assert min(kept, key=kept.get) == "fused"
+    # plausible spreads survive untouched
+    rows2 = {"fused": 1.6e-4, "separable": 1.9e-4}
+    assert autotune._drop_implausible(rows2, 2048 * 2048, "fwd", 819.0) == rows2
+    # a single candidate is never dropped, however fast it claims to be
+    rows3 = {"separable": 1e-9}
+    assert autotune._drop_implausible(rows3, 2048 * 2048, "fwd", 819.0) == rows3
+
+
+def test_inverse_candidates_split_poly_and_mxu():
+    """The inverse candidate list must (a) omit the polyphase streamed
+    body at geometries where it cannot compile (Mosaic OOM, 4K-class)
+    and (b) offer the MXU synthesis as its own named candidate so the
+    table records the poly/mxu crossover (VERDICT r3 weak #6)."""
+    small = [n for n, _ in autotune._pyramid_candidates(
+        "cdf97", 5, "inv", shape=(1024, 1024), dtype=jnp.float32)]
+    assert "streamed" in small and "streamed-mxu" in small
+    big = [n for n, _ in autotune._pyramid_candidates(
+        "cdf97", 5, "inv", shape=(2144, 4096), dtype=jnp.float32)]
+    assert "streamed" not in big  # polyphase inverse cannot compile at 4K
+    assert "streamed-mxu" in big
+    # integers: no MXU candidate (bit-exactness needs the polyphase body)
+    ints = [n for n, _ in autotune._pyramid_candidates(
+        "cdf53", 5, "inv", shape=(1024, 1024), dtype=jnp.int32)]
+    assert "streamed-mxu" not in ints

@@ -278,3 +278,36 @@ def test_single_level_inverse_rejects_mismatched_bands():
     bad = jnp.zeros((96, 64), jnp.float32)
     with pytest.raises(ValueError):
         streamed_idwt2_level(ll, bad, ll, ll, interpret=True)
+
+
+def test_resolve_inv_body_geometry_gated():
+    """'auto' must keep the exact polyphase synthesis wherever it
+    compiles and only fall to the bf16-split MXU body at the 4K-class
+    float32 geometries where Mosaic OOM-kills the polyphase compile
+    (ADVICE r3: the precision drop must not leak to small frames)."""
+    from libdwt_tpu.ops.streamed import (
+        _resolve_inv_body, poly_inv_compile_safe,
+    )
+
+    assert poly_inv_compile_safe(2048, 2048)  # observed compiling
+    assert not poly_inv_compile_safe(2144, 4096)  # observed OOM
+    f32 = jnp.float32
+    assert _resolve_inv_body("auto", "cdf97", f32, (1024, 1024)) == "poly"
+    assert _resolve_inv_body("auto", "cdf97", f32, (2048, 2048)) == "poly"
+    assert _resolve_inv_body("auto", "cdf97", f32, (2144, 4096)) == "mxu"
+    # integers stay bit-exact polyphase at every geometry
+    assert _resolve_inv_body("auto", "cdf53", jnp.int32,
+                             (2144, 4096)) == "poly"
+    # explicit requests pass through
+    assert _resolve_inv_body("mxu", "cdf97", f32, (256, 256)) == "mxu"
+    assert _resolve_inv_body("poly", "cdf97", f32, (8192, 8192)) == "poly"
+
+
+def test_copy_body_not_reachable_by_name():
+    """The timing-only control body is underscore-prefixed; the old
+    public name must raise (ADVICE r3: a typo'd caller must not get
+    mathematically wrong coefficients silently)."""
+    x = _rand(256, 256)
+    with pytest.raises(ValueError, match="unknown kernel body"):
+        streamed_dwt2_2level(x, "cdf97", strip_rows=64, interpret=True,
+                             body="copy")

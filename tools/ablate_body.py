@@ -54,7 +54,7 @@ def main():
         for body in args.bodies.split(","):
             name = f"streamed[{ty},{body}]:fwd"
             try:
-                secs = _chain_slope_secs(
+                secs, kind = _chain_slope_secs(
                     lambda a, t=ty, b=body: streamed_wavedec2(
                         a, "cdf97", J, strip_rows=t, body=b),
                     stacks, trials=args.trials,
@@ -66,6 +66,7 @@ def main():
                 "cand": name,
                 "ms_per_frame": round(secs * 1e3, 4),
                 "gpix_s": round(px / secs / 1e9, 2),
+                "estimator": kind,
             }))
 
 

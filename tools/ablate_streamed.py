@@ -89,7 +89,7 @@ def main():
 
     for name, fn in cands:
         try:
-            secs = _chain_slope_secs(fn, stacks, trials=args.trials)
+            secs, kind = _chain_slope_secs(fn, stacks, trials=args.trials)
         except Exception as e:  # device-dependent geometry limits
             print(json.dumps({"cand": name, "error": str(e)[:120]}))
             continue
@@ -97,6 +97,7 @@ def main():
             "cand": name,
             "ms_per_frame": round(secs * 1e3, 4),
             "gpix_s": round(px / secs / 1e9, 2),
+            "estimator": kind,
         }))
 
 

@@ -64,7 +64,12 @@ def main():
 
     from libdwt_tpu import autotune
 
-    sizes = tuple(int(s) for s in args.sizes.split(","))
+    # each size is a square edge ("1024") or an explicit HxW geometry
+    # ("2144x4096" — tunes that bucket at the real bench frame shape)
+    sizes = tuple(
+        tuple(int(p) for p in s.split("x")) if "x" in s else int(s)
+        for s in args.sizes.split(",")
+    )
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
     table = {}
     if not args.skip_2d:
