@@ -128,6 +128,16 @@ def main():
         ]
         ok = max(diffs) <= 5e-4
 
+        # collective accounting: the per-frame ICI traffic this mesh
+        # size issues (counts pin the halved-collective schedule; bytes
+        # are per shard per frame) — the quantity the efficiency curve
+        # is paying for
+        from libdwt_tpu.parallel.comm_stats import collective_stats
+
+        comm = collective_stats(
+            lambda a, m=mesh: sharded_wavedec2(a, "cdf97", args.levels,
+                                               mesh=m), x0)
+
         mpix = args.height * args.width / secs / 1e6
         if base is None:
             base = mpix
@@ -141,6 +151,7 @@ def main():
             "efficiency": round(eff, 3),
             "oracle_max_diff": round(max(diffs), 8),
             "gate_ok": ok,
+            "collectives_per_frame": comm,
             "virtual": virtual,
         }))
     if len(results) > 1:
@@ -210,6 +221,12 @@ def main():
                             jax.tree_util.tree_leaves(want))
         ]
         ok = max(diffs) <= 5e-4
+        from libdwt_tpu.parallel.comm_stats import collective_stats
+
+        comm = collective_stats(
+            lambda a, m=bmesh: sharded_wavedec2(
+                a, "cdf97", args.levels, mesh=m,
+                space_axis="rows", col_axis="cols"), x0)
         mpix = args.height * args.width / secs / 1e6
         eff = mpix / (base * n_rows * n_cols) if base else float("nan")
         print(json.dumps({
@@ -220,6 +237,7 @@ def main():
             "efficiency": round(eff, 3),
             "oracle_max_diff": round(max(diffs), 8),
             "gate_ok": ok,
+            "collectives_per_frame": comm,
             "virtual": virtual,
         }))
 

@@ -107,13 +107,17 @@ def _require(cond: bool, msg: str) -> None:
         raise ValueError(f"streamed kernel geometry: {msg}")
 
 
-def _strip_geom(i: int, total: int, stride: int, top: int = TOP):
+def _strip_geom(i: int, total: int, stride: int, top: int = TOP,
+                origin: int = 0):
     """(want_lo, src_start, length, buf_offset) of strip ``i``'s DMA
     window over a band of ``total`` rows walked ``stride`` rows per
-    strip with a ``top``-row halo above and below."""
-    want_lo = i * stride - top
+    strip with a ``top``-row halo above and below.  ``origin`` shifts
+    the band's row 0 into the source array (the 'extended' boundary
+    mode, where the caller supplied ``origin`` valid halo rows above
+    the band)."""
+    want_lo = i * stride - top + origin
     s = max(want_lo, 0)
-    e = min(i * stride + stride + top, total)
+    e = min(i * stride + stride + top + origin, total)
     return want_lo, s, e - s, s - want_lo
 
 
@@ -218,22 +222,37 @@ def streamed_supported(shape, wavelet, strip_rows: int, levels: int = 1) -> bool
 # --------------------------------------------------------------- forward
 
 
-@functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "wavelet", "strip_rows", "interpret", "boundary_rows"))
 def streamed_dwt2_level(
     x: jax.Array,
     wavelet="cdf97",
     strip_rows: int = 0,
     interpret: bool = False,
+    boundary_rows: str = "mirror",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Single-level forward 2-D DWT -> (LL, HL, LH, HH); even h, w.
 
     Equivalent to :func:`libdwt_tpu.ops.separable.dwt2_level`.
+
+    ``boundary_rows='extended'`` means the caller already supplied HALO
+    valid rows above and below the image (x has h+2*HALO rows) — the
+    sharded halo-exchange case (parallel/sharded.py) — so no row
+    mirror fills are emitted; columns still mirror in-lane.  The
+    don't-care buffer rows outside the extension never reach a kept
+    output (the analysis support radius is HALO).
     """
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
-    h, w = x.shape
+    if boundary_rows not in ("mirror", "extended"):
+        raise ValueError("boundary_rows must be 'mirror' or 'extended'")
+    ext_mode = boundary_rows == "extended"
+    E = HALO if ext_mode else 0
+    h = x.shape[0] - 2 * E
+    w = x.shape[1]
     if h % 2 or w % 2:
         raise ValueError("streamed kernel needs even dims; use the oracle")
+    total_in = h + 2 * E
     ty = pick_strip(h, strip_rows or 256)
     ny = -(-h // ty)
     rem = h - (ny - 1) * ty
@@ -250,7 +269,7 @@ def streamed_dwt2_level(
         stages = (sll, shl, slh, shh)
 
         def in_dma(i):
-            _, s, L, o = _strip_geom(i, h, ty)
+            _, s, L, o = _strip_geom(i, total_in, ty, TOP, origin=E)
             return pltpu.make_async_copy(
                 x_hbm.at[pl.ds(s, L), :],
                 in_buf.at[i % 2, pl.ds(o, L), :],
@@ -272,14 +291,15 @@ def streamed_dwt2_level(
             in_dma(i).wait()
             t = in_buf[i % 2]
             want_lo = i * ty - TOP
-            if i == 0:
-                t = _mirror_head_sub(t, TOP, HALO)
-            if i * ty + ty + HALO > h:
-                er = (h - 1) - want_lo
-                _require(er + HALO <= tyw - 1,
-                         f"strip {i}: tail mirror past buffer "
-                         f"(er={er}, tyw={tyw})")
-                t = _mirror_tail_sub(t, er, HALO)
+            if not ext_mode:
+                if i == 0:
+                    t = _mirror_head_sub(t, TOP, HALO)
+                if i * ty + ty + HALO > h:
+                    er = (h - 1) - want_lo
+                    _require(er + HALO <= tyw - 1,
+                             f"strip {i}: tail mirror past buffer "
+                             f"(er={er}, tyw={tyw})")
+                    t = _mirror_tail_sub(t, er, HALO)
             ll, hl, lh, hh = _analysis2d_poly(t, wavelet, row_edges=(True, True))
             c = TOP // 2
             if i >= 2:
@@ -475,25 +495,37 @@ def streamed_dwt2_2level(
 # --------------------------------------------------------------- inverse
 
 
-@functools.partial(jax.jit, static_argnames=("wavelet", "strip_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "wavelet", "strip_rows", "interpret", "boundary_rows"))
 def streamed_idwt2_level(
     ll, hl, lh, hh,
     wavelet="cdf97",
     strip_rows: int = 0,
     interpret: bool = False,
+    boundary_rows: str = "mirror",
 ) -> jax.Array:
     """Single-level inverse (inverse of :func:`streamed_dwt2_level`).
 
     Reads the raw band arrays in place: channel-domain border mirrors
     (the virt2real rules of /root/reference/src/dwt-sym.c:434-534 in
     the channel domain) are materialized in VMEM on edge strips only.
+
+    ``boundary_rows='extended'`` means every band carries CMIR valid
+    channel-halo rows above and below (the sharded channel exchange,
+    parallel/sharded.py), so no channel mirrors are emitted.
     """
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
-    cy, cx = ll.shape
+    if boundary_rows not in ("mirror", "extended"):
+        raise ValueError("boundary_rows must be 'mirror' or 'extended'")
+    ext_mode = boundary_rows == "extended"
+    E = CMIR if ext_mode else 0
+    cy = ll.shape[0] - 2 * E
+    cx = ll.shape[1]
     h, w = 2 * cy, 2 * cx
+    total_in = cy + 2 * E
     for name, band in (("hl", hl), ("lh", lh), ("hh", hh)):
-        if band.shape != (cy, cx):
+        if band.shape != ll.shape:
             raise ValueError(
                 f"streamed inverse needs equal band shapes (even dims): "
                 f"ll={ll.shape} vs {name}={band.shape}; use the oracle"
@@ -511,7 +543,7 @@ def streamed_idwt2_level(
         bufs = (bll, bhl, blh, bhh)
 
         def in_dma(i, q):
-            _, s, L, o = _strip_geom(i, cy, hy)
+            _, s, L, o = _strip_geom(i, total_in, hy, TOP, origin=E)
             return pltpu.make_async_copy(
                 bands_h[q].at[pl.ds(s, L), :],
                 bufs[q].at[i % 2, pl.ds(o, L), :],
@@ -539,16 +571,17 @@ def streamed_idwt2_level(
             for q, buf in enumerate(bufs):
                 is_low = q < 2  # ll/hl are row-low 's'; lh/hh row-high 'd'
                 t = buf[i % 2]
-                if i == 0:
-                    t = (_mirror_head_sub(t, TOP, CMIR) if is_low
-                         else _mirror_head_sub_repeat(t, TOP, CMIR))
-                if i * hy + hy + CMIR > cy:
-                    er = (cy - 1) - want_lo
-                    _require(er + CMIR <= tyw - 1,
-                             f"strip {i}: tail mirror past buffer "
-                             f"(er={er}, tyw={tyw})")
-                    t = (_mirror_tail_sub_repeat(t, er, CMIR) if is_low
-                         else _mirror_tail_sub(t, er, CMIR))
+                if not ext_mode:
+                    if i == 0:
+                        t = (_mirror_head_sub(t, TOP, CMIR) if is_low
+                             else _mirror_head_sub_repeat(t, TOP, CMIR))
+                    if i * hy + hy + CMIR > cy:
+                        er = (cy - 1) - want_lo
+                        _require(er + CMIR <= tyw - 1,
+                                 f"strip {i}: tail mirror past buffer "
+                                 f"(er={er}, tyw={tyw})")
+                        t = (_mirror_tail_sub_repeat(t, er, CMIR) if is_low
+                             else _mirror_tail_sub(t, er, CMIR))
                 fixed.append(t)
             t = _synthesis2d_poly(*fixed, wavelet, row_edges=(True, True))
             if i >= 2:

@@ -1,0 +1,191 @@
+"""Kernel-level halo exchange over inter-chip RDMA.
+
+The jnp sharded path resolves the cross-shard lifting dependency with
+``jax.lax.ppermute`` (parallel/sharded.py) — XLA schedules that
+collective BETWEEN compute steps, so the halo transfer cannot overlap
+the shard's own lifting work.  This module is the kernel-level
+alternative: each shard's boundary rows are pushed straight into the
+NEIGHBOUR's output buffer with ``pltpu.make_async_remote_copy`` (the
+guide's inter-chip RDMA pattern), so a future fused kernel can start
+its interior compute while the halo is still in flight — the DMA-fed
+worker decomposition of the reference's ASVP backend
+(/root/reference/src/libdwt.c:9441-9486) mapped onto ICI instead of
+FPGA memory banks.
+
+Current integration point: :func:`rdma_extend_rows` is a drop-in for
+``sharded._exchange_rows_fwd`` inside ``shard_map`` (select it with
+``sharded_wavedec2(..., halo_impl='rdma')``).  The interior compute
+overlap (issuing the RDMA from inside the lifting kernel itself) is
+the follow-on step; the exchange protocol — neighbour addressing,
+send/recv semaphore pairing, edge mirror fills — is what this module
+pins down, CPU-testable under the Pallas TPU interpret mode
+(``pltpu.InterpretParams``).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["rdma_extend_rows"]
+
+#: collective id for the pre-exchange neighbour barrier.
+_COLLECTIVE_ID = 7
+
+
+def rdma_extend_rows(
+    x: jax.Array,
+    axis_name: str,
+    mesh_axes: Sequence[str] = ("space",),
+    halo: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """Extend a row-sharded local block by ``halo`` rows per side, the
+    neighbour rows arriving over RDMA (interior shards) and the global
+    borders filled with the whole-point mirror (edge shards) — the
+    exchange semantics of ``sharded._exchange_rows_fwd``, executed as
+    one Pallas kernel per shard.
+
+    Must be called INSIDE ``shard_map`` over a mesh whose axis names
+    are ``mesh_axes`` (the exchanged axis is ``axis_name``); the
+    neighbour device id is the mesh coordinate tuple with that axis
+    shifted +-1.
+    """
+    h, w = x.shape[-2], x.shape[-1]
+    if x.ndim != 2:
+        raise ValueError("rdma_extend_rows operates on 2-D local blocks")
+    if h < halo + 1:
+        raise ValueError(f"local block rows ({h}) must exceed halo ({halo})")
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    def _device_id(neigh) -> Tuple:
+        return tuple(
+            neigh if a == axis_name else jax.lax.axis_index(a)
+            for a in mesh_axes
+        )
+
+    def kernel(idx_ref, x_hbm, out_hbm, mir, sems, send_sem, recv_sem):
+        my = idx_ref[0]
+        # --- neighbour barrier: both sides must have entered the kernel
+        # (and thus own their output buffers) before any remote write
+        barrier = pltpu.get_barrier_semaphore()
+        for neigh, cond in ((my - 1, my > 0), (my + 1, my < n - 1)):
+            @pl.when(cond)
+            def _():
+                pltpu.semaphore_signal(
+                    barrier, inc=1, device_id=_device_id(neigh),
+                    device_id_type=pltpu.DeviceIdType.MESH,
+                )
+        expected = (
+            jnp.where(my > 0, 1, 0) + jnp.where(my < n - 1, 1, 0)
+        )
+        pltpu.semaphore_wait(barrier, expected)
+
+        # --- interior rows: straight local copy into the centre
+        center = pltpu.make_async_copy(
+            x_hbm.at[:, :], out_hbm.at[pl.ds(halo, h), :], sems.at[0]
+        )
+        center.start()
+
+        # --- RDMA: my boundary rows land DIRECTLY in the neighbour's
+        # output halo (no staging buffer, no extra hop).  Down = my
+        # last rows -> next shard's TOP halo; up = my first rows ->
+        # previous shard's BOTTOM halo.  Symmetric-program pairing:
+        # every shard constructs both descriptors; the receiving side
+        # waits its local recv semaphore.
+        down = pltpu.make_async_remote_copy(
+            src_ref=x_hbm.at[pl.ds(h - halo, halo), :],
+            dst_ref=out_hbm.at[pl.ds(0, halo), :],
+            send_sem=send_sem.at[0],
+            recv_sem=recv_sem.at[0],
+            device_id=_device_id(my + 1),
+            device_id_type=pltpu.DeviceIdType.MESH,
+        )
+        up = pltpu.make_async_remote_copy(
+            src_ref=x_hbm.at[pl.ds(0, halo), :],
+            dst_ref=out_hbm.at[pl.ds(halo + h, halo), :],
+            send_sem=send_sem.at[1],
+            recv_sem=recv_sem.at[1],
+            device_id=_device_id(my - 1),
+            device_id_type=pltpu.DeviceIdType.MESH,
+        )
+
+        @pl.when(my < n - 1)
+        def _():
+            down.start()
+            down.wait_send()
+
+        @pl.when(my > 0)
+        def _():
+            up.start()
+            up.wait_send()
+
+        # --- edge shards: whole-point mirror (x[-m] := x[m]) via a
+        # small VMEM bounce (ANY->ANY cannot flip); interior shards
+        # wait for the neighbour's RDMA instead.
+        @pl.when(my == 0)
+        def _():
+            top_src = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(1, halo), :], mir.at[0], sems.at[1]
+            )
+            top_src.start()
+            top_src.wait()
+            # static per-row reversal (Mosaic lowers no strided slices)
+            for r in range(halo):
+                mir[1, r : r + 1, :] = mir[0, halo - 1 - r : halo - r, :]
+            top_dst = pltpu.make_async_copy(
+                mir.at[1], out_hbm.at[pl.ds(0, halo), :], sems.at[1]
+            )
+            top_dst.start()
+            top_dst.wait()
+
+        @pl.when(my > 0)
+        def _():
+            down.wait_recv()
+
+        @pl.when(my == n - 1)
+        def _():
+            bot_src = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(h - halo - 1, halo), :], mir.at[0], sems.at[2]
+            )
+            bot_src.start()
+            bot_src.wait()
+            for r in range(halo):
+                mir[1, r : r + 1, :] = mir[0, halo - 1 - r : halo - r, :]
+            bot_dst = pltpu.make_async_copy(
+                mir.at[1], out_hbm.at[pl.ds(halo + h, halo), :], sems.at[2]
+            )
+            bot_dst.start()
+            bot_dst.wait()
+
+        @pl.when(my < n - 1)
+        def _():
+            up.wait_recv()
+
+        center.wait()
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((h + 2 * halo, w), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, halo, w), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            collective_id=_COLLECTIVE_ID,
+        ),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(jnp.asarray(idx, jnp.int32).reshape(1), x)
+    return out

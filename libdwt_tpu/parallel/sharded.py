@@ -194,11 +194,14 @@ def _col_inv(lo: jax.Array, hi: jax.Array, wavelet, axis_name: str):
 # ------------------------------------------------------- local level kernels
 
 
-def _level_fwd_local(ll, wavelet, axis_name):
+def _level_fwd_local(ll, wavelet, axis_name, ext=None):
     # ONE signal-row halo exchange per level (2 ppermutes, not 4): the
     # row pass is rowwise, so the halo rows' row transforms are computed
-    # locally and feed the column pass directly
-    ext = _exchange_rows_fwd(ll, axis_name)
+    # locally and feed the column pass directly.  ``ext`` lets a caller
+    # substitute its own HALO-extended block (the RDMA exchange of
+    # parallel/remote_halo.py).
+    if ext is None:
+        ext = _exchange_rows_fwd(ll, axis_name)
     l, h = lift_fwd(ext, wavelet, axis=-1)
     off, keep = HALO // 2, ll.shape[-2] // 2
 
@@ -259,16 +262,96 @@ def _level_inv_local_blocks(ll, hl, lh, hh, wavelet, row_axis, col_axis):
 
 
 def _level_fwd_local_fused(ll, wavelet, axis_name, interpret):
-    """Fused-kernel variant: exchange the 4-row halo once, then run the
-    single-loop Pallas strip kernel on the extended local block
+    """Fused-kernel variant: exchange the 4-row halo once (batched
+    arrays exchange ONCE for the whole batch), then run the
+    single-loop Pallas strip kernel on each extended local block
     (boundary_rows='extended'), keeping row+column lifting in one VMEM
     residency per shard."""
     from libdwt_tpu.ops.fused import fused_dwt2_level
 
     ext = _exchange_rows_fwd(ll, axis_name)
-    return fused_dwt2_level(
-        ext, wavelet, interpret=interpret, boundary_rows="extended"
-    )
+
+    def run(e):
+        return fused_dwt2_level(
+            e, wavelet, interpret=interpret, boundary_rows="extended"
+        )
+
+    return run(ext) if ll.ndim == 2 else _map_leading(run, ext)
+
+
+def _streamed_block_ok(h: int, w: int, wavelet) -> bool:
+    """Local-block geometry gate for the per-shard streamed kernels
+    (they need >= 2 strips); smaller blocks fall back to the fused
+    grid kernel, which handles any even block with > 5 rows."""
+    from libdwt_tpu.ops.streamed import streamed_supported
+
+    return streamed_supported((h, w), wavelet, 256, levels=1)
+
+
+def _level_fwd_local_streamed(ll, wavelet, axis_name, interpret):
+    """Streamed-kernel variant (the manual double-buffered DMA perf
+    path of ops/streamed.py) running inside the shard: same exchange as
+    the fused variant, then the streamed strip kernel per extended
+    block.  Levels whose local block is too small for the strip
+    pipeline run the fused grid kernel instead."""
+    from libdwt_tpu.ops.streamed import streamed_dwt2_level
+
+    if not _streamed_block_ok(ll.shape[-2], ll.shape[-1], wavelet):
+        return _level_fwd_local_fused(ll, wavelet, axis_name, interpret)
+    ext = _exchange_rows_fwd(ll, axis_name)
+
+    def run(e):
+        return streamed_dwt2_level(
+            e, wavelet, interpret=interpret, boundary_rows="extended"
+        )
+
+    return run(ext) if ll.ndim == 2 else _map_leading(run, ext)
+
+
+def _level_inv_local_streamed(ll, hl, lh, hh, wavelet, axis_name, interpret):
+    """Streamed-kernel inverse variant: one stacked channel-halo
+    exchange (CMIR deep, once for the whole batch), then the streamed
+    inverse strip kernel per extended band set.  Levels whose local
+    block is too small for the strip pipeline run the fused grid
+    kernel instead (geometry checked BEFORE the exchange so no orphan
+    collectives are traced)."""
+    from libdwt_tpu.ops.streamed import CMIR, streamed_idwt2_level
+
+    if not _streamed_block_ok(2 * ll.shape[-2], 2 * ll.shape[-1], wavelet):
+        return _level_inv_local_fused(ll, hl, lh, hh, wavelet, axis_name,
+                                      interpret)
+    w = ll.shape[-1]
+    s = jnp.concatenate([ll, hl], axis=-1)
+    d = jnp.concatenate([lh, hh], axis=-1)
+    s_ext, d_ext = _exchange_channels_inv(s, d, axis_name, ch=CMIR)
+
+    def run(se, de):
+        return streamed_idwt2_level(
+            se[..., :w], se[..., w:], de[..., :w], de[..., w:],
+            wavelet=wavelet, interpret=interpret, boundary_rows="extended",
+        )
+
+    return (run(s_ext, d_ext) if ll.ndim == 2
+            else _map_leading(run, s_ext, d_ext))
+
+
+def _map_leading(fn, *arrays):
+    """Trace-time batch loop for Pallas per-shard kernels: vmap would
+    fold the batch into the kernel grid and multiply the VMEM working
+    set (observed OOM on batched 4K frames, api.dwt2); sequential
+    launches are VMEM-safe.  Maps ``fn`` over the leading axes of
+    equally-batched ``arrays``; fn returns an array or a tuple."""
+    batch = arrays[0].shape[:-2]
+    flat = [a.reshape((-1,) + a.shape[-2:]) for a in arrays]
+    per = [fn(*(f[i] for f in flat)) for i in range(flat[0].shape[0])]
+    if isinstance(per[0], tuple):
+        return tuple(
+            jnp.stack([p[k] for p in per]).reshape(
+                batch + per[0][k].shape)
+            for k in range(len(per[0]))
+        )
+    out = jnp.stack(per)
+    return out.reshape(batch + out.shape[-2:])
 
 
 def _level_inv_local(ll, hl, lh, hh, wavelet, axis_name):
@@ -286,22 +369,37 @@ def _level_inv_local(ll, hl, lh, hh, wavelet, axis_name):
 
 def _level_inv_local_fused(ll, hl, lh, hh, wavelet, axis_name, interpret):
     """Fused-kernel inverse variant: exchange a 4-row channel halo per
-    band pair once, then run the single-loop Pallas inverse strip
-    kernel on the extended local blocks (boundary_rows='extended'),
-    keeping both inverse passes in one VMEM residency per shard."""
+    band pair once (once for the whole batch), then run the
+    single-loop Pallas inverse strip kernel on the extended local
+    blocks (boundary_rows='extended'), keeping both inverse passes in
+    one VMEM residency per shard."""
     from libdwt_tpu.ops.fused import CH as FCH, fused_idwt2_level
 
     w = ll.shape[-1]
     s = jnp.concatenate([ll, hl], axis=-1)
     d = jnp.concatenate([lh, hh], axis=-1)
     s_ext, d_ext = _exchange_channels_inv(s, d, axis_name, ch=FCH)
-    return fused_idwt2_level(
-        s_ext[..., :w], s_ext[..., w:], d_ext[..., :w], d_ext[..., w:],
-        wavelet, interpret=interpret, boundary_rows="extended",
-    )
+
+    def run(se, de):
+        return fused_idwt2_level(
+            se[..., :w], se[..., w:], de[..., :w], de[..., w:],
+            wavelet, interpret=interpret, boundary_rows="extended",
+        )
+
+    return (run(s_ext, d_ext) if ll.ndim == 2
+            else _map_leading(run, s_ext, d_ext))
 
 
 # ------------------------------------------------------------- public entry
+
+
+def _resolve_kernel(kernel: Optional[str], use_fused: bool) -> Optional[str]:
+    """Back-compat: ``use_fused=True`` is ``kernel='fused'``."""
+    if kernel is None and use_fused:
+        kernel = "fused"
+    if kernel not in (None, "fused", "streamed"):
+        raise ValueError("kernel must be None, 'fused' or 'streamed'")
+    return kernel
 
 
 def _check_sharded_sizes(h: int, n_space: int, level: int,
@@ -332,6 +430,8 @@ def sharded_wavedec2(
     data_axis: Optional[str] = "data",
     col_axis: Optional[str] = None,
     use_fused: bool = False,
+    kernel: Optional[str] = None,
+    halo_impl: str = "ppermute",
     interpret: bool = False,
 ):
     """Multi-level 2-D MRA sharded over mesh rows (and batch over data).
@@ -347,33 +447,47 @@ def sharded_wavedec2(
     corner samples from diagonal neighbours arrive without a dedicated
     diagonal collective.
 
-    ``use_fused=True`` runs the per-shard work through the single-loop
-    Pallas strip kernel (one VMEM residency per level per shard) after
-    the halo exchange; needs 2-D local blocks with even row counts
-    (row sharding only — the strip kernel's lane borders assume true
-    signal edges).
+    ``kernel='fused'`` (alias ``use_fused=True``) runs the per-shard
+    work through the single-loop Pallas strip kernel (one VMEM
+    residency per level per shard) after the halo exchange;
+    ``kernel='streamed'`` runs the manual double-buffered DMA strip
+    kernel (ops/streamed.py — the perf path) the same way.  Both need
+    2-D local blocks with even row counts (row sharding only — the
+    strip kernels' lane borders assume true signal edges); batched
+    inputs launch one kernel per frame inside the shard.
+
+    ``halo_impl='rdma'`` exchanges the halo with a kernel-level
+    ``make_async_remote_copy`` push into the neighbour's buffer
+    (parallel/remote_halo.py) instead of ``ppermute`` — 2-D inputs,
+    row sharding only.
     """
     wavelet = get_wavelet(wavelet)
     _check_mirror_safe(wavelet)
+    kernel = _resolve_kernel(kernel, use_fused)
     n_space = mesh.shape[space_axis]
-    _check_sharded_sizes(x.shape[-2], n_space, level, use_fused)
+    if halo_impl not in ("ppermute", "rdma"):
+        raise ValueError("halo_impl must be 'ppermute' or 'rdma'")
+    if halo_impl == "rdma" and (col_axis is not None or x.ndim != 2
+                                or kernel is not None):
+        raise ValueError(
+            "halo_impl='rdma' supports unbatched 2-D row sharding on "
+            "the jnp lifting path (no col_axis/kernel)"
+        )
+    _check_sharded_sizes(x.shape[-2], n_space, level, kernel is not None)
     if col_axis is not None:
-        if use_fused:
+        if kernel is not None:
             raise ValueError(
-                "use_fused supports row sharding only (the strip "
-                "kernel's lane borders assume true signal edges); "
-                "drop col_axis or use_fused"
+                "kernel= supports row sharding only (the strip "
+                "kernels' lane borders assume true signal edges); "
+                "drop col_axis or kernel"
             )
         _check_sharded_sizes(x.shape[-1], mesh.shape[col_axis], level)
-    if use_fused and x.ndim != 2:
-        raise ValueError(
-            "use_fused needs a 2-D input (batched arrays run the jnp "
-            "path; drop use_fused or vmap outside the mesh)"
-        )
 
     nbatch = x.ndim - 2
     batch_spec = (data_axis,) + (None,) * (nbatch - 1) if nbatch else ()
     spec = P(*batch_spec, space_axis, col_axis)
+    level_fwd_kernel = (_level_fwd_local_fused if kernel == "fused"
+                        else _level_fwd_local_streamed)
 
     def local_fn(xl):
         coeffs = []
@@ -383,9 +497,19 @@ def sharded_wavedec2(
                 ll, hl, lh, hh = _level_fwd_local_blocks(
                     ll, wavelet, space_axis, col_axis
                 )
-            elif use_fused and ll.ndim == 2:
-                ll, hl, lh, hh = _level_fwd_local_fused(
+            elif kernel is not None:
+                ll, hl, lh, hh = level_fwd_kernel(
                     ll, wavelet, space_axis, interpret
+                )
+            elif halo_impl == "rdma":
+                from libdwt_tpu.parallel.remote_halo import rdma_extend_rows
+
+                ext = rdma_extend_rows(
+                    ll, space_axis, mesh_axes=mesh.axis_names,
+                    halo=HALO, interpret=interpret,
+                )
+                ll, hl, lh, hh = _level_fwd_local(
+                    ll, wavelet, space_axis, ext=ext
                 )
             else:
                 ll, hl, lh, hh = _level_fwd_local(ll, wavelet, space_axis)
@@ -397,7 +521,7 @@ def sharded_wavedec2(
     # (their ShapeDtypeStruct outputs carry no varying-mesh-axes info).
     return jax.shard_map(
         local_fn, mesh=mesh, in_specs=spec, out_specs=out_specs,
-        check_vma=not use_fused,
+        check_vma=not (kernel is not None or halo_impl == "rdma"),
     )(x)
 
 
@@ -410,32 +534,31 @@ def sharded_waverec2(
     data_axis: Optional[str] = "data",
     col_axis: Optional[str] = None,
     use_fused: bool = False,
+    kernel: Optional[str] = None,
     interpret: bool = False,
 ):
     """Inverse of :func:`sharded_wavedec2` (same sharding convention).
 
-    ``use_fused=True`` runs the per-shard inverse through the
-    single-loop Pallas strip kernel after a channel-halo exchange;
-    needs 2-D local blocks with even channel row counts (row sharding
-    only, like the forward).
+    ``kernel='fused'`` (alias ``use_fused=True``) runs the per-shard
+    inverse through the single-loop Pallas strip kernel after a
+    channel-halo exchange; ``kernel='streamed'`` the manual-DMA strip
+    kernel.  Both need 2-D local blocks with even channel row counts
+    (row sharding only, like the forward); batched pyramids launch one
+    kernel per frame inside the shard.
     """
     wavelet = get_wavelet(wavelet)
     _check_mirror_safe(wavelet)
+    kernel = _resolve_kernel(kernel, use_fused)
     level = len(coeffs) - 1
     ll = coeffs[0]
-    if use_fused and ll.ndim != 2:
+    if col_axis is not None and kernel is not None:
         raise ValueError(
-            "use_fused needs a 2-D pyramid (batched arrays run the jnp "
-            "path; drop use_fused or vmap outside the mesh)"
-        )
-    if col_axis is not None and use_fused:
-        raise ValueError(
-            "use_fused supports row sharding only (the strip kernel's "
+            "kernel= supports row sharding only (the strip kernels' "
             "lane borders assume true signal edges); drop col_axis or "
-            "use_fused"
+            "kernel"
         )
     _check_sharded_sizes(ll.shape[-2] << level, mesh.shape[space_axis],
-                         level, use_fused)
+                         level, kernel is not None)
     if col_axis is not None:
         _check_sharded_sizes(ll.shape[-1] << level, mesh.shape[col_axis],
                              level)
@@ -452,6 +575,8 @@ def sharded_waverec2(
     batch_spec = (data_axis,) + (None,) * (nbatch - 1) if nbatch else ()
     spec = P(*batch_spec, space_axis, col_axis)
     in_specs = [spec] + [(spec, spec, spec)] * level
+    level_inv_kernel = (_level_inv_local_fused if kernel == "fused"
+                        else _level_inv_local_streamed)
 
     def local_fn(cs):
         ll = cs[0]
@@ -460,8 +585,8 @@ def sharded_waverec2(
                 ll = _level_inv_local_blocks(
                     ll, hl, lh, hh, wavelet, space_axis, col_axis
                 )
-            elif use_fused and ll.ndim == 2:
-                ll = _level_inv_local_fused(
+            elif kernel is not None:
+                ll = level_inv_kernel(
                     ll, hl, lh, hh, wavelet, space_axis, interpret
                 )
             else:
@@ -470,7 +595,7 @@ def sharded_waverec2(
 
     return jax.shard_map(
         local_fn, mesh=mesh, in_specs=(in_specs,), out_specs=spec,
-        check_vma=not use_fused,
+        check_vma=kernel is None,
     )(coeffs)
 
 
@@ -739,12 +864,12 @@ def sharded_waverec3(
 
 def sharded_dwt2_level(x, wavelet="cdf97", *, mesh, space_axis="space",
                        data_axis="data", col_axis=None, use_fused=False,
-                       interpret=False):
+                       kernel=None, interpret=False):
     """Single-level sharded 2-D transform -> (LL, HL, LH, HH)."""
     c = sharded_wavedec2(
         x, wavelet, 1, mesh=mesh, space_axis=space_axis,
         data_axis=data_axis, col_axis=col_axis, use_fused=use_fused,
-        interpret=interpret,
+        kernel=kernel, interpret=interpret,
     )
     ll, (hl, lh, hh) = c[0], c[1]
     return ll, hl, lh, hh
@@ -752,7 +877,7 @@ def sharded_dwt2_level(x, wavelet="cdf97", *, mesh, space_axis="space",
 
 def sharded_idwt2_level(ll, hl, lh, hh, wavelet="cdf97", *, mesh,
                         space_axis="space", data_axis="data", col_axis=None,
-                        use_fused=False, interpret=False):
+                        use_fused=False, kernel=None, interpret=False):
     """Inverse of :func:`sharded_dwt2_level`."""
     return sharded_waverec2(
         [ll, (hl, lh, hh)],
@@ -762,5 +887,6 @@ def sharded_idwt2_level(ll, hl, lh, hh, wavelet="cdf97", *, mesh,
         data_axis=data_axis,
         col_axis=col_axis,
         use_fused=use_fused,
+        kernel=kernel,
         interpret=interpret,
     )

@@ -259,12 +259,16 @@ def test_fused_inverse_minimum_rows_enforced():
     np.testing.assert_allclose(np.asarray(r2), np.asarray(x2), atol=1e-4)
 
 
-def test_use_fused_batched_rejected():
+def test_use_fused_batched_supported():
+    """Batched frames under the kernel paths launch one Pallas kernel
+    per frame inside the shard (round-4 feature; the halo exchange
+    still runs once per level for the whole batch)."""
     mesh = make_mesh_2d(2, 4)
     x = jnp.asarray(np.random.RandomState(0).rand(2, 128, 32)
                     .astype(np.float32))
-    with pytest.raises(ValueError, match="2-D"):
-        sharded_wavedec2(x, "cdf97", 1, mesh=mesh, use_fused=True)
+    got = sharded_wavedec2(x, "cdf97", 1, mesh=mesh, use_fused=True,
+                           interpret=True)
+    _tree_allclose(got, wavedec2(x, "cdf97", 1), atol=1e-5)
 
 
 def test_inverse_validates_pytree():
@@ -473,3 +477,147 @@ def test_blocks_geometry_fuzz(seed):
                            space_axis="rows", col_axis="cols")
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x),
                                atol=1e-3, rtol=0)
+
+
+def test_collective_counts_pinned():
+    """The halo-exchange collective SCHEDULE is a design claim (round
+    2: one signal-row exchange per forward level — 2 ppermutes — not
+    one per pass; stacked channel pairs on the inverse — 4); pin it so
+    a regression doubling the ICI traffic fails loudly, and record the
+    bytes so scaling artifacts can report traffic per level."""
+    from libdwt_tpu.parallel.comm_stats import collective_stats
+
+    mesh = make_mesh_2d(2, 4)
+    x = jnp.zeros((512, 512), jnp.float32)
+    for level in (1, 2, 3):
+        st = collective_stats(
+            lambda a: sharded_wavedec2(a, "cdf97", level, mesh=mesh), x)
+        assert set(st) == {"ppermute"}, st
+        assert st["ppermute"]["count"] == 2 * level, st
+    coeffs = sharded_wavedec2(x, "cdf97", 2, mesh=mesh)
+    st = collective_stats(
+        lambda cs: sharded_waverec2(cs, "cdf97", mesh=mesh), coeffs)
+    assert st["ppermute"]["count"] == 4 * 2, st
+    # 2-D block sharding: two-phase exchange = 4 ppermutes per forward
+    # level (rows + cols), corner samples riding the second phase
+    bmesh = make_mesh_blocks(1, 2, 4)
+    for level in (1, 2):
+        st = collective_stats(
+            lambda a: sharded_wavedec2(a, "cdf97", level, mesh=bmesh,
+                                       space_axis="rows",
+                                       col_axis="cols"), x)
+        assert st["ppermute"]["count"] == 4 * level, st
+    # 3-D z sharding: one z exchange per forward level
+    from libdwt_tpu.parallel import sharded_wavedec3
+
+    v = jnp.zeros((64, 64, 64), jnp.float32)
+    zmesh = make_mesh_2d(1, 4)
+    st = collective_stats(
+        lambda a: sharded_wavedec3(a, "cdf97", 2, mesh=zmesh), v)
+    assert st["ppermute"]["count"] == 2 * 2, st
+
+
+class TestRdmaHalo:
+    """Kernel-level make_async_remote_copy halo exchange
+    (parallel/remote_halo.py) under the Pallas TPU interpret mode."""
+
+    def test_matches_ppermute_exchange(self):
+        from jax.sharding import PartitionSpec as P
+
+        from libdwt_tpu.parallel.remote_halo import rdma_extend_rows
+        from libdwt_tpu.parallel.sharded import _exchange_rows_fwd
+
+        mesh = make_mesh_2d(1, 8)
+        x = jnp.asarray(np.random.RandomState(0).rand(256, 128)
+                        .astype(np.float32))
+        spec = P("space", None)
+        got = jax.shard_map(
+            lambda xl: rdma_extend_rows(
+                xl, "space", mesh_axes=("data", "space"), halo=4,
+                interpret=True),
+            mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False,
+        )(x)
+        want = jax.shard_map(
+            lambda xl: _exchange_rows_fwd(xl, "space"),
+            mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False,
+        )(x)
+        assert got.shape == want.shape
+        assert float(jnp.abs(got - want).max()) == 0.0
+
+    def test_sharded_wavedec2_rdma_matches_oracle(self):
+        mesh = make_mesh_2d(1, 8)
+        x = jnp.asarray(np.random.RandomState(1).rand(512, 256)
+                        .astype(np.float32))
+        got = sharded_wavedec2(x, "cdf97", 3, mesh=mesh,
+                               halo_impl="rdma", interpret=True)
+        want = wavedec2(x, "cdf97", 3)
+        _tree_allclose(got, want, atol=1e-5)
+
+    def test_rdma_rejects_unsupported_layouts(self):
+        mesh = make_mesh_2d(2, 4)
+        xb = jnp.zeros((2, 256, 128), jnp.float32)
+        with pytest.raises(ValueError, match="rdma"):
+            sharded_wavedec2(xb, "cdf97", 1, mesh=mesh,
+                             halo_impl="rdma", interpret=True)
+        with pytest.raises(ValueError, match="halo_impl"):
+            sharded_wavedec2(xb[0], "cdf97", 1, mesh=mesh,
+                             halo_impl="nope")
+
+
+class TestShardedKernelBodies:
+    """kernel='streamed' (the manual-DMA perf path) and batched inputs
+    under shard_map — VERDICT r3 'missing #3'."""
+
+    def test_streamed_kernel_matches_oracle(self):
+        mesh = make_mesh_2d(1, 4)
+        x = jnp.asarray(np.random.RandomState(0).rand(1024, 256)
+                        .astype(np.float32))
+        got = sharded_wavedec2(x, "cdf97", 2, mesh=mesh, kernel="streamed",
+                               interpret=True)
+        _tree_allclose(got, wavedec2(x, "cdf97", 2), atol=1e-5)
+        rec = sharded_waverec2(got, "cdf97", mesh=mesh, kernel="streamed",
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x),
+                                   atol=1e-4, rtol=0)
+
+    @pytest.mark.parametrize("kern", ["fused", "streamed"])
+    def test_batched_kernel_matches_oracle(self, kern):
+        mesh = make_mesh_2d(2, 4)
+        xb = jnp.asarray(np.random.RandomState(1).rand(4, 1024, 256)
+                         .astype(np.float32))
+        got = sharded_wavedec2(xb, "cdf97", 2, mesh=mesh, kernel=kern,
+                               interpret=True)
+        _tree_allclose(got, wavedec2(xb, "cdf97", 2), atol=1e-5)
+        rec = sharded_waverec2(got, "cdf97", mesh=mesh, kernel=kern,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(xb),
+                                   atol=1e-4, rtol=0)
+
+    def test_batched_exchange_is_amortized(self):
+        """The halo exchange must run once per LEVEL, not once per
+        frame: a batched shard exchanges the whole stacked block."""
+        from libdwt_tpu.parallel.comm_stats import collective_stats
+
+        mesh = make_mesh_2d(2, 4)
+        xb = jnp.zeros((4, 1024, 256), jnp.float32)
+        st = collective_stats(
+            lambda a: sharded_wavedec2(a, "cdf97", 2, mesh=mesh,
+                                       kernel="streamed", interpret=True),
+            xb)
+        assert st["ppermute"]["count"] == 2 * 2, st
+
+    def test_small_levels_fall_back_to_fused(self):
+        # 512/4 shards = 128 local rows; level 3 leaves 32-row blocks —
+        # below the strip pipeline's range, must still match the oracle
+        mesh = make_mesh_2d(1, 4)
+        x = jnp.asarray(np.random.RandomState(2).rand(512, 256)
+                        .astype(np.float32))
+        got = sharded_wavedec2(x, "cdf97", 2, mesh=mesh, kernel="streamed",
+                               interpret=True)
+        _tree_allclose(got, wavedec2(x, "cdf97", 2), atol=1e-5)
+
+    def test_kernel_arg_validated(self):
+        mesh = make_mesh_2d(1, 4)
+        x = jnp.zeros((512, 256), jnp.float32)
+        with pytest.raises(ValueError, match="kernel"):
+            sharded_wavedec2(x, "cdf97", 1, mesh=mesh, kernel="mxu")
