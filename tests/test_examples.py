@@ -42,6 +42,13 @@ _CASES = {
     "load.py": ["missing.pgm"],
     "spectra_blobs.py": ["--n", "256", "--bins", "32", "--components", "3",
                          "--ridges", "6"],
+    "info.py": [],
+    "simple_variants.py": ["--size", "64", "--levels", "2"],
+    "spectra_dwt.py": ["--n-signals", "4", "--length", "128",
+                       "--levels", "2"],
+    "perf_plot.py": ["--sizes", "64", "--levels", "2", "--impls",
+                     "separable", "--dirs", "fwd", "--trials", "1",
+                     "--chains", "2,4", "--out-dir", "/tmp/pp-test"],
 }
 
 
