@@ -30,6 +30,8 @@ def main():
     mse_out = float(((den - clean) ** 2).mean())
     print(f"noisy MSE {mse_in:.2f} -> denoised MSE {mse_out:.2f} "
           f"({10*np.log10(mse_in/mse_out):.1f} dB gain)")
+    # the pipeline's value contract: thresholding must IMPROVE the MSE
+    assert mse_out < mse_in, "denoise did not reduce MSE"
 
 
 if __name__ == "__main__":

@@ -45,6 +45,11 @@ def main():
     ident = eaw_waverec2(coeffs, weights, "cdf97")
     err = float(jnp.abs(ident - img).max())
     print(f"identity reconstruction err: {err:.2e}")
+    # golden-style predicates (the smoke test runs this program): the
+    # weighted lifting must invert exactly and the manipulation must
+    # stay finite
+    assert err <= 1e-3, f"EAW identity reconstruction err {err}"
+    assert bool(jnp.isfinite(out).all()), "tone-mapped output not finite"
     print(f"tone-mapped range: [{float(out.min()):.1f}, {float(out.max()):.1f}] "
           f"(input [{float(img.min()):.1f}, {float(img.max()):.1f}])")
     if args.output:

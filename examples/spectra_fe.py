@@ -49,6 +49,18 @@ def main():
         feats.append(np.asarray(v).reshape(-1))
     feats = np.stack(feats, axis=1)
 
+    # value contract: one feature vector per signal, all finite, and
+    # the oscillatory class carries more fine-band power than the
+    # smooth class (the separation the classifier downstream relies on)
+    assert feats.shape == (len(labels), args.levels)
+    assert np.isfinite(feats).all()
+    if args.feature == "wps":
+        fine1 = feats[labels == 1.0, 0].mean()
+        fine2 = feats[labels == 2.0, 0].mean()
+        assert fine2 > fine1, (
+            f"oscillatory class should dominate the fine band "
+            f"({fine2} vs {fine1})")
+
     save_svm(args.out, labels, feats)
     print(f"wrote {len(labels)} x {feats.shape[1]} feature vectors to {args.out}")
 
