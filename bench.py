@@ -368,14 +368,17 @@ def _gates(xs, rec, gate_results):
         d = float(jax.jit(_tree_max_abs_diff)(got, want))
         assert d <= 5e-4, f"3-D dispatch vs oracle max|diff|={d}"
 
+    # cheap gates first, the multi-minute Mosaic compiles (streamed /
+    # MXU 4K kernels, when cold) last — a deadline then skips the
+    # expensive validations instead of starving the cheap ones
     gate("roundtrip_4k", g_roundtrip_4k)
     gate("fused_vs_oracle_4k", g_fused_vs_oracle, min_secs=90.0)
-    gate("streamed_vs_oracle_4k", g_streamed_vs_oracle, min_secs=120.0)
-    gate("mxu_vs_oracle_4k", g_mxu_vs_oracle, min_secs=120.0)
     gate("int_fused_512", g_int_fused)
     gate("odd_fused_513x511", g_odd_fused)
     gate("baseline_roundtrips", g_baseline_roundtrips)
     gate("vol_vs_oracle", g_vol_vs_oracle, min_secs=60.0)
+    gate("streamed_vs_oracle_4k", g_streamed_vs_oracle, min_secs=120.0)
+    gate("mxu_vs_oracle_4k", g_mxu_vs_oracle, min_secs=150.0)
 
 
 #: gates whose failure (as opposed to deadline-skip) zeroes the

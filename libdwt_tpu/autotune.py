@@ -509,11 +509,16 @@ def tune_dispatch(
             winner = min(kept, key=kept.get)
             entry = {
                 "impl": winner,
-                "secs": rows,
-                "estimator": kinds,
+                "secs": kept,
+                "estimator": {k: kinds[k] for k in kept},
                 "measured_at": (shape[0] if shape[0] == shape[1]
                                 else list(shape)),
             }
+            dropped = {k: v for k, v in rows.items() if k not in kept}
+            if dropped:
+                # evidence of the artifact is preserved, but OUT of the
+                # ranking data validate_table examines
+                entry["dropped"] = dropped
             if failed:
                 entry["failed"] = failed
                 # a compile failure is environment-specific: stamp it so

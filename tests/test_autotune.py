@@ -161,6 +161,20 @@ def test_drop_implausible_removes_timing_artifacts():
     assert autotune._drop_implausible(rows3, 2048 * 2048, "fwd", 819.0) == rows3
 
 
+def test_packaged_table_is_consistent():
+    """The table that SHIPS must pass its own plausibility validation
+    (the round-3 table did not: VERDICT.md 'What's weak' #2)."""
+    import os
+
+    path = autotune._packaged_table()
+    assert os.path.exists(path)
+    with open(path) as f:
+        table = json.load(f)
+    for kind, mine in table.items():
+        findings = autotune.validate_table(mine)
+        assert findings == [], f"{kind}: {findings}"
+
+
 def test_inverse_candidates_split_poly_and_mxu():
     """The inverse candidate list must (a) omit the polyphase streamed
     body at geometries where it cannot compile (Mosaic OOM, 4K-class)

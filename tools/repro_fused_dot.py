@@ -15,6 +15,11 @@ either one fused bf16 dot each (--mode fused) or the 3-dot fallback
 
 Exit 0 = compiled (prints seconds), 2 = still compiling at the alarm
 (the hang signature).  Scale --dots/--cols to find the wall.
+
+``--mode two`` probes the middle ground: a 2-way row interleave
+(xhi, xlo) x column-interleaved (Whi, Whi) covers the Whi@xhi +
+Whi@xlo terms in ONE dot, with Wlo@xhi as a second plain dot — 2 MXU
+passes per block instead of 3, still a power-of-two interleave group.
 """
 import argparse
 import os
@@ -35,7 +40,8 @@ N, BLOCK = 512, 128  # window sublanes (the ty=480/tyw=512 strip), block rows
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("fused", "three"), default="fused")
+    ap.add_argument("--mode", choices=("fused", "two", "three"),
+                    default="fused")
     ap.add_argument("--dots", type=int, default=24,
                     help="banded blocks per kernel (the 4K streamed "
                          "2-level kernel emits ~O(100))")
@@ -57,6 +63,13 @@ def main():
         W[..., 1::4] = hi
         W[..., 2::4] = lo
         W[..., 3::4] = lo
+    elif args.mode == "two":
+        # [Whi interleaved 2-way | Wlo]: dot1 covers Whi@(xhi+xlo),
+        # dot2 the Wlo@xhi correction
+        W = np.empty((m, BLOCK, 3 * wmax), ml_dtypes.bfloat16)
+        W[..., 0 : 2 * wmax : 2] = hi
+        W[..., 1 : 2 * wmax : 2] = hi
+        W[..., 2 * wmax :] = lo
     else:
         W = np.concatenate([hi, lo], axis=-1)
     starts = [(i * 64) % (N - wmax) // 8 * 8 for i in range(m)]
@@ -76,6 +89,17 @@ def main():
             for i, s in enumerate(starts):
                 win = jax.lax.slice_in_dim(x4, 4 * s, 4 * (s + wmax), axis=0)
                 o_ref[pl.ds(i * BLOCK, BLOCK), :] = dot(w_ref[i], win)
+        elif args.mode == "two":
+            x2 = jnp.concatenate(
+                [xhi.reshape(N, 1, c), xlo.reshape(N, 1, c)], axis=1
+            ).reshape(2 * N, c)
+            for i, s in enumerate(starts):
+                win2 = jax.lax.slice_in_dim(x2, 2 * s, 2 * (s + wmax),
+                                            axis=0)
+                winh = jax.lax.slice_in_dim(xhi, s, s + wmax, axis=0)
+                o_ref[pl.ds(i * BLOCK, BLOCK), :] = (
+                    dot(w_ref[i, :, : 2 * wmax], win2)
+                    + dot(w_ref[i, :, 2 * wmax :], winh))
         else:
             for i, s in enumerate(starts):
                 hw = jax.lax.slice_in_dim(xhi, s, s + wmax, axis=0)
