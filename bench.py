@@ -638,4 +638,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 - the JSON line must print
+        # "never die silent" covers exceptions too: a Mosaic compile
+        # error or transport failure still emits the partial result
+        # (with the error recorded) and exits 0 — the driver then has
+        # the phase reached and whatever was measured.
+        import traceback
+
+        RESULT["extra"]["error"] = f"{type(e).__name__}: {str(e)[:400]}"
+        traceback.print_exc()
+        _log(f"FATAL: {type(e).__name__} — emitting partial result")
+        _emit(0)

@@ -267,10 +267,17 @@ def wavedec2(x, wavelet="cdf97", level: Optional[int] = None, impl: Optional[str
         return jax.tree_util.tree_map(
             lambda o: o.reshape(x.shape[:-2] + o.shape[-2:]), out
         )
+    # choice == 'separable': LOCK it for every level.  The measured
+    # dispatch table ranked whole consistent-impl pyramids; re-running
+    # _pick_impl per level would route intermediate geometries through
+    # whatever their own bucket prefers — an untuned mixed pipeline
+    # (and the coarse levels' buckets were measured on full pyramids,
+    # not single levels).
+    level_impl = impl if impl is not None else "separable"
     coeffs = []
     ll = x
     for _ in range(j):
-        ll, hl, lh, hh = dwt2(ll, wavelet, impl=impl)
+        ll, hl, lh, hh = dwt2(ll, wavelet, impl=level_impl)
         coeffs.append((hl, lh, hh))
     return [ll] + coeffs[::-1]
 
@@ -331,6 +338,11 @@ def waverec2(coeffs, wavelet="cdf97", impl: Optional[str] = None,
             ]
             out = jnp.stack(per)
             return out.reshape(batch + out.shape[-2:])
+        # choice == 'separable': lock it for every level (the dispatch
+        # table ranked whole consistent-impl reconstructions; per-level
+        # re-dispatch would run an untuned mixed pipeline — see
+        # wavedec2)
+        impl = impl if impl is not None else "separable"
     for hl, lh, hh in coeffs[1:]:
         ll = idwt2(ll, hl, lh, hh, wavelet, impl=impl, border=border)
     return ll

@@ -201,9 +201,27 @@ def _fix_strip(t, i: int, meta):
     return t
 
 
+def _tail_rem(h: int, ty: int) -> int:
+    """Rows of the last strip."""
+    ny = -(-h // ty)
+    return h - (ny - 1) * ty
+
+
+def tail_aligned(h: int, ty: int) -> bool:
+    """Mosaic requires DMA slice lengths on the sublane axis to be
+    8-aligned; the streamed kernels' stage-buffer slices for the LAST
+    strip are rem, rem/2 and rem/4 rows (full / half / quarter
+    resolution), so the last-strip remainder must be 32-divisible
+    (observed on hardware: a 536-row image, rem=24, k=12 ->
+    "Slice shape along dimension 1 must be aligned to tiling (8)")."""
+    return _tail_rem(h, ty) % 32 == 0
+
+
 def streamed_supported(shape, wavelet, strip_rows: int, levels: int = 1) -> bool:
     """Geometry gate: even dims (divisible by 4 for the 2-level pair),
-    at least two strips, at most MAX_STRIPS, symmetric-step wavelet."""
+    at least two strips, at most MAX_STRIPS, 32-aligned last strip
+    (:func:`tail_aligned` — a Mosaic DMA constraint), symmetric-step
+    wavelet."""
     from libdwt_tpu.ops.fused import fused_supported
 
     h, w = shape
@@ -212,11 +230,23 @@ def streamed_supported(shape, wavelet, strip_rows: int, levels: int = 1) -> bool
         return False
     ty = pick_strip(h, strip_rows or 256)
     ny = -(-h // ty)
-    if not (2 <= ny <= MAX_STRIPS and h > ty + 48):
+    if not (2 <= ny <= MAX_STRIPS and h > ty + 48 and tail_aligned(h, ty)):
         return False
     # the 2-level INVERSE also needs its quarter-resolution channel
     # windows to fit: cy2 > qy + 16 (+8 short-tail bump)
     return levels == 1 or h // 4 > ty // 4 + 24
+
+
+def _require_tail_aligned(h: int, ty: int, interpret: bool) -> None:
+    """Compiled-path guard for :func:`tail_aligned` (interpret mode has
+    no tiling constraint, and the ragged geometries are valuable test
+    coverage there)."""
+    if not interpret and not tail_aligned(h, ty):
+        raise ValueError(
+            f"streamed kernel geometry: last strip of {_tail_rem(h, ty)} "
+            "rows is not 32-aligned (Mosaic DMA slice constraint); use "
+            "the fused or separable path"
+        )
 
 
 # --------------------------------------------------------------- forward
@@ -261,6 +291,7 @@ def streamed_dwt2_level(
     tyw = ty + 2 * TOP + (8 if 0 < rem < TOP else 0)
     if h <= tyw or ny < 2 or ny > MAX_STRIPS:
         raise ValueError("geometry outside the streamed kernel's range")
+    _require_tail_aligned(h, ty, interpret)
     hy = ty // 2
 
     def kernel(x_hbm, ll_h, hl_h, lh_h, hh_h,
@@ -370,6 +401,7 @@ def streamed_dwt2_2level(
     tyw = ty + 2 * TOP2 + (16 if 0 < rem < TOP2 else 0)
     if h <= tyw or ny < 2 or ny > MAX_STRIPS:
         raise ValueError("geometry outside the streamed kernel's range")
+    _require_tail_aligned(h, ty, interpret)
     hy, qy = ty // 2, ty // 4
     hx, qx = w // 2, w // 4
 
@@ -536,6 +568,7 @@ def streamed_idwt2_level(
     tyw = hy + 2 * TOP
     if cy <= tyw or ny < 2 or ny > MAX_STRIPS:
         raise ValueError("geometry outside the streamed kernel's range")
+    _require_tail_aligned(h, ty, interpret)
 
     def kernel(ll_h, hl_h, lh_h, hh_h, out_h,
                bll, bhl, blh, bhh, ostage, in_sem, out_sem):
@@ -650,6 +683,7 @@ def streamed_idwt2_2level(
     tyw_q = qy + 2 * TOP + (8 if 0 < remq < CFIX else 0)
     if cy1 <= tyw_h or cy2 <= tyw_q or ny < 2 or ny > MAX_STRIPS:
         raise ValueError("geometry outside the streamed kernel's range")
+    _require_tail_aligned(h, ty, interpret)
 
     n_mats = 0
     if body == "mxu":
@@ -920,6 +954,7 @@ def streamed_wavedec2_deep(
     tyw = ty + 2 * TOP2 + (16 if 0 < rem < TOP2 else 0)
     if h <= tyw or ny < 2 or ny > MAX_STRIPS:
         raise ValueError("geometry outside the streamed kernel's range")
+    _require_tail_aligned(h, ty, interpret)
     hy, qy = ty // 2, ty // 4
     hx, qx = w // 2, w // 4
     cy2, cx2 = h // 4, w // 4
@@ -1188,6 +1223,7 @@ def streamed_waverec2_deep(
     tyw_q = qy + 2 * TOP
     if ny < 2 or ny > MAX_STRIPS:
         raise ValueError("geometry outside the streamed kernel's range")
+    _require_tail_aligned(h, ty, interpret)
     # +8 tail margins when a short last strip pushes the penultimate
     # strip's channel mirror past the buffer (same rule as
     # streamed_idwt2_2level)

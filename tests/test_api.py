@@ -149,3 +149,49 @@ def test_single_level_streamed_mxu_raises():
     bands = dwt2_level(x, "cdf97")
     with pytest.raises(ValueError, match="streamed-mxu"):
         idwt2(*bands, wavelet="cdf97", impl="streamed-mxu")
+
+
+def test_auto_separable_choice_locks_all_levels(monkeypatch, tmp_path):
+    """bench r4 hardware crash regression: with the top-level 'auto'
+    choice = separable, the level loop must NOT re-dispatch coarser
+    levels through their own buckets (level 3 of the 4K pyramid landed
+    on a streamed kernel at an untuned 536-row geometry and died in
+    Mosaic).  A separable choice is locked for the whole pyramid — the
+    thing the dispatch table actually measured."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    from libdwt_tpu import autotune
+    from libdwt_tpu.api import wavedec2
+
+    table = {autotune._device_kind(): {
+        "2048:float32:cdf97": {"impl": "separable", "secs": {}},
+        "1024:float32:cdf97": {"impl": "fused", "secs": {}},
+        "512:float32:cdf97": {"impl": "streamed-mxu", "secs": {}},
+    }}
+    path = tmp_path / "tune.json"
+    path.write_text(json.dumps(table))
+    monkeypatch.setenv("LIBDWT_TPU_TUNE_FILE", str(path))
+    monkeypatch.setattr("libdwt_tpu.api._on_tpu", lambda: True)
+    autotune.clear_cache()
+    try:
+        jaxpr = jax.make_jaxpr(lambda a: wavedec2(a, "cdf97", 5))(
+            jax.ShapeDtypeStruct((2144, 4096), jnp.float32))
+
+        def prims(jx, out):
+            for eqn in jx.eqns:
+                out.add(eqn.primitive.name)
+                for val in eqn.params.values():
+                    vals = val if isinstance(val, (tuple, list)) else [val]
+                    for v in vals:
+                        inner = getattr(v, "jaxpr", None)
+                        if inner is not None:
+                            prims(inner, out)
+            return out
+
+        names = prims(jaxpr.jaxpr, set())
+        assert "pallas_call" not in names, (
+            "auto separable pyramid must not contain Pallas kernels")
+    finally:
+        autotune.clear_cache()

@@ -185,8 +185,14 @@ from libdwt_tpu.ops.streamed import streamed_deep_ok, streamed_wavedec2_deep
 @pytest.mark.parametrize("h,w,J,ty", [(256, 320, 4, 64), (512, 384, 5, 128),
                                       (260, 256, 3, 64)])
 def test_streamed_deep_pyramid(h, w, J, ty):
+    from libdwt_tpu.ops.streamed import pick_strip, tail_aligned
+
     x = _rand(h, w, seed=h + J)
-    assert streamed_deep_ok((h, w), 4, "cdf97", J, ty)
+    # the dispatch gate excludes last strips that are not 32-aligned
+    # (Mosaic DMA constraint, compiled path only); interpret mode still
+    # covers the ragged geometry below
+    assert streamed_deep_ok((h, w), 4, "cdf97", J, ty) == tail_aligned(
+        h, pick_strip(h, ty))
     got = streamed_wavedec2_deep(x, "cdf97", J, strip_rows=ty, interpret=True)
     want = sep_wavedec2(x, "cdf97", J)
     assert _maxdiff(got, want) < 5e-5
@@ -311,3 +317,23 @@ def test_copy_body_not_reachable_by_name():
     with pytest.raises(ValueError, match="unknown kernel body"):
         streamed_dwt2_2level(x, "cdf97", strip_rows=64, interpret=True,
                              body="copy")
+
+
+def test_tail_alignment_gate():
+    """The geometry that crashed Mosaic on hardware (bench r4: level 3
+    of a 4K pyramid, 536 rows, ty=256 -> last strip 24 rows, 12-row
+    stage DMA slice, 'must be aligned to tiling (8)').  The dispatch
+    gate must exclude it; the compiled kernel must refuse it; interpret
+    mode (no tiling) keeps accepting ragged geometry."""
+    from libdwt_tpu.ops.streamed import streamed_supported, tail_aligned
+
+    assert not tail_aligned(536, 256)
+    assert not streamed_supported((536, 1024), "cdf97", 256, levels=1)
+    assert tail_aligned(2144, 256)
+    assert streamed_supported((2144, 4096), "cdf97", 256, levels=1)
+    x = _rand(536, 1024)
+    with pytest.raises(ValueError, match="32-aligned"):
+        streamed_dwt2_level(x, "cdf97", strip_rows=256, interpret=False)
+    got = streamed_dwt2_level(x, "cdf97", strip_rows=256, interpret=True)
+    want = dwt2_level(x, "cdf97")
+    assert _maxdiff(got, want) < FTOL
