@@ -62,14 +62,27 @@ _ALIGN = 8
 #: output rows per banded block (one MXU tile of output rows).
 _BLOCK = 128
 
-#: emit the whole bf16 split-product as ONE dot per block (4-way
-#: row/column interleave) instead of three separate bf16 dots.  The
-#: fused form needs operand lane widths that are 128-multiples (the
-#: strip kernels pad, see _pad_sublanes_128) and compiles in small
-#: probes, but Mosaic HANGS compiling it at the full 4K streamed-kernel
-#: scale (>45 min, no error) — default to the measured-working 3-dot
-#: emission until the compiler issue is understood.
+#: bf16 split-product emission mode:
+#:   'three' — Whi@xhi + Whi@xlo + Wlo@xhi as three separate dots
+#:             (the measured-working default; no layout constraints)
+#:   'two'   — the Whi terms as ONE dot over a 2-way row interleave
+#:             (xhi, xlo) x column-interleaved (Whi, Whi), plus the
+#:             Wlo@xhi correction dot — 2 MXU passes per block
+#:   'fused' — all terms as ONE dot (4-way interleave).  Compiles in
+#:             small probes but Mosaic HANGS at the full 4K
+#:             streamed-kernel scale (>45 min, no error) —
+#:             tools/repro_fused_dot.py is the bounded repro.
+#: The interleaved modes need operand lane widths that are
+#: 128-multiples (the strip kernels pad, see _pad_sublanes_128).
+DOT_EMISSION = "three"
+
+#: legacy alias (True == 'fused'); prefer DOT_EMISSION.
 FUSED_DOT = False
+
+
+def _mode() -> str:
+    # honour a caller flipping the legacy flag
+    return "fused" if FUSED_DOT else DOT_EMISSION
 
 
 def mxu_supported(wavelet, dtype) -> bool:
@@ -325,8 +338,18 @@ def split_bf16(M: np.ndarray) -> np.ndarray:
 
     hi = M.astype(ml_dtypes.bfloat16)
     lo = (M - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    if not FUSED_DOT:
+    mode = _mode()
+    if mode == "three":
         return np.concatenate([hi, lo], axis=-1)
+    if mode == "two":
+        # [2-way column-interleaved (Whi, Whi) | Wlo]: dot1 against the
+        # row-interleaved (xhi, xlo) covers Whi@xhi + Whi@xlo; dot2 is
+        # the Wlo@xhi correction
+        out = np.empty(M.shape[:-1] + (3 * M.shape[-1],), ml_dtypes.bfloat16)
+        out[..., 0 : 2 * M.shape[-1] : 2] = hi
+        out[..., 1 : 2 * M.shape[-1] : 2] = hi
+        out[..., 2 * M.shape[-1] :] = lo
+        return out
     out = np.empty(M.shape[:-1] + (4 * M.shape[-1],), ml_dtypes.bfloat16)
     out[..., 0::4] = hi
     out[..., 1::4] = hi
@@ -357,7 +380,8 @@ def apply_packed(x, mats_ref, metas, upcast: bool = False):
     so results agree with the TPU bf16 dot up to summation order —
     and the CPU backend lacks a bf16 x bf16 = f32 dot thunk for some
     shapes ("DotThunk::Execute: BF16 x BF16 = F32")."""
-    wmax = mats_ref.shape[-1] // (4 if FUSED_DOT else 2)
+    mode = _mode()
+    wmax = mats_ref.shape[-1] // {"three": 2, "two": 3, "fused": 4}[mode]
     n, c = x.shape
     xhi = x.astype(jnp.bfloat16)
     xlo = (x - xhi.astype(x.dtype)).astype(jnp.bfloat16)
@@ -378,7 +402,7 @@ def apply_packed(x, mats_ref, metas, upcast: bool = False):
             preferred_element_type=jnp.float32,
         )
 
-    if FUSED_DOT:
+    if mode == "fused":
         x4 = jnp.concatenate(
             [xhi.reshape(n, 1, c), xlo.reshape(n, 1, c),
              xhi.reshape(n, 1, c), xlo.reshape(n, 1, c)], axis=1
@@ -392,6 +416,26 @@ def apply_packed(x, mats_ref, metas, upcast: bool = False):
             win = jax.lax.slice_in_dim(x4, 4 * start, 4 * (start + wmax),
                                        axis=0)
             parts.append(_dot(w4, win).astype(x.dtype))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    if mode == "two":
+        # rows (xhi[r], xlo[r]) x weight columns (Whi, Whi) fold the
+        # two Whi terms into one dot; Wlo@xhi is the correction dot —
+        # 2 MXU passes per block and only a power-of-two (2-way)
+        # interleave for Mosaic to lower.
+        x2 = jnp.concatenate(
+            [xhi.reshape(n, 1, c), xlo.reshape(n, 1, c)], axis=1
+        ).reshape(2 * n, c)
+        parts = []
+        for idx, rows, start in metas:
+            whh = mats_ref[idx, :rows, : 2 * wmax]
+            wlo = mats_ref[idx, :rows, 2 * wmax :]
+            win2 = jax.lax.slice_in_dim(x2, 2 * start, 2 * (start + wmax),
+                                        axis=0)
+            hi_win = jax.lax.slice_in_dim(xhi, start, start + wmax, axis=0)
+            parts.append(
+                (_dot(whh, win2) + _dot(wlo, hi_win)).astype(x.dtype)
+            )
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     # 3-dot fallback: the [hi | lo] canvas halves are contiguous lane
@@ -528,7 +572,7 @@ def _pad_sublanes_128(u):
     (padded, original_rows)."""
     r = u.shape[0]
     rp = -(-r // 128) * 128
-    if rp == r or not FUSED_DOT:
+    if rp == r or _mode() == "three":
         return u, r
     return jnp.concatenate(
         [u, jnp.zeros((rp - r,) + u.shape[1:], u.dtype)], axis=0), r

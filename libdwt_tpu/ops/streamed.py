@@ -137,14 +137,14 @@ def _zero_dma_gaps(buf, i: int, total: int, stride: int, tyw: int,
 
 
 def _mxu_strip(body: str) -> int:
-    """Default preferred strip rows per body: the FUSED_DOT mxu mode
-    prefers ty=480 (tyw=512, a 256-multiple) so the banded lane passes
-    need no 128-multiple sublane padding; everything else keeps the
-    measured 256 default."""
+    """Default preferred strip rows per body: the interleaved-dot mxu
+    modes ('two'/'fused') prefer ty=480 (tyw=512, a 256-multiple) so
+    the banded lane passes need no 128-multiple sublane padding;
+    everything else keeps the measured 256 default."""
     if body == "mxu":
         from libdwt_tpu.ops import banded
 
-        if banded.FUSED_DOT:
+        if banded._mode() != "three":
             return 480
     return 256
 

@@ -191,3 +191,28 @@ def test_fill_matrices_match_mirror_helpers():
         want = np.asarray(jax.jit(fn)(xd))
         got = E @ x.astype(np.float64)
         assert np.abs(got - want).max() == 0.0
+
+
+@pytest.mark.parametrize("mode", ["two", "fused"])
+def test_interleaved_dot_emissions_vs_oracle(mode, monkeypatch):
+    """The 'two' (2-dot) and 'fused' (1-dot) bf16 split-product
+    emissions must produce the same math as the default 3-dot mode —
+    they exist to cut per-dot MXU overhead once Mosaic compiles them
+    at scale (tools/repro_fused_dot.py probes the wall)."""
+    from libdwt_tpu.ops import banded
+    from libdwt_tpu.ops.separable import wavedec2
+    from libdwt_tpu.ops.streamed import streamed_dwt2_2level
+
+    monkeypatch.setattr(banded, "DOT_EMISSION", mode)
+    # the emission mode is a module flag, invisible to the jit cache
+    # key — retrace so this mode's matrices are actually built
+    streamed_dwt2_2level.clear_cache()
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(256, 256).astype(np.float32))
+    out = streamed_dwt2_2level(x, "cdf97", interpret=True, body="mxu",
+                               strip_rows=64)
+    streamed_dwt2_2level.clear_cache()
+    want = jax.jit(lambda a: wavedec2(a, "cdf97", 2))(x)
+    for g, wref in zip(jax.tree_util.tree_leaves(out),
+                       jax.tree_util.tree_leaves(want)):
+        assert np.abs(np.asarray(g) - np.asarray(wref)).max() < 2e-4
