@@ -74,7 +74,13 @@ _BLOCK = 128
 #:             tools/repro_fused_dot.py is the bounded repro.
 #: The interleaved modes need operand lane widths that are
 #: 128-multiples (the strip kernels pad, see _pad_sublanes_128).
-DOT_EMISSION = "three"
+#: Overridable for offline probes via $LIBDWT_TPU_DOT_EMISSION.
+import os as _os
+
+DOT_EMISSION = _os.environ.get("LIBDWT_TPU_DOT_EMISSION", "three")
+if DOT_EMISSION not in ("three", "two", "fused"):  # pragma: no cover
+    raise ValueError(
+        f"LIBDWT_TPU_DOT_EMISSION={DOT_EMISSION!r} (want three|two|fused)")
 
 #: legacy alias (True == 'fused'); prefer DOT_EMISSION.
 FUSED_DOT = False
