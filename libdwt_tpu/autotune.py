@@ -596,6 +596,10 @@ def tune_dispatch3(
                 print(f"tune3: {direction}:{name} failed: "
                       f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
                 continue
+            import sys
+
+            print(f"tune3: {direction}:{name} = {rows[name]:.3e} "
+                  f"s/volume ({kinds[name]})", file=sys.stderr)
         if not rows:
             continue
         winner = min(rows, key=rows.get)
