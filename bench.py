@@ -491,6 +491,11 @@ def main():
         "nominal": round(roofline_mpix_s, 1),
         "measured_achievable": round(roofline_measured, 1),
         "bw_gbps": {"nominal": nominal_bw, "measured_copy": measured_bw},
+        # the minimal HBM traffic of a fused level pyramid — the deep
+        # streamed kernels already achieve it (one read of the frame,
+        # one write of every coefficient), so the perf gap is compute,
+        # not traffic (BENCH_NOTES round 4)
+        "bytes_per_pixel_minimal": round(bytes_per_pixel, 3),
     }
 
     rng = np.random.RandomState(0)

@@ -39,6 +39,31 @@ plot \\
 """
 
 
+def _write_outputs(series, args, device):
+    """(Re)write the gnuplot data files, plot script and combined TSV
+    from the rows measured so far."""
+    lines = []
+    tsv = ["# dir\timpl\tpixels\tsecs_per_pixel\testimator"]
+    for (direction, impl), rows in sorted(series.items()):
+        tag = "fwd" if direction == "fwd" else "finv"
+        fname = f"dir={tag}.impl={impl}.type=float32.txt"
+        with open(os.path.join(args.out_dir, fname), "w") as f:
+            f.write(f"# {device}: secs/pixel, {args.wavelet} "
+                    f"J={args.levels}"
+                    + (" (fwd+inv composite)" if tag == "finv" else "")
+                    + "\n")
+            for px, spp, kind in rows:
+                f.write(f"{px} {spp:.6e} # {kind}\n")
+        lines.append(f'\t"{fname}" with linespoints lw 2 '
+                     f'title "{impl} ({tag})", \\')
+        for px, spp, kind in rows:
+            tsv.append(f"{tag}\t{impl}\t{px}\t{spp:.6e}\t{kind}")
+    with open(os.path.join(args.out_dir, "plot.txt"), "w") as f:
+        f.write(GNUPLOT.format(lines="\n".join(lines).rstrip(", \\")))
+    with open(os.path.join(args.out_dir, "sweep.tsv"), "w") as f:
+        f.write("\n".join(tsv) + "\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="256,512,1024,2048")
@@ -70,7 +95,9 @@ def main():
     )
 
     os.makedirs(args.out_dir, exist_ok=True)
-    sizes = [int(s) for s in args.sizes.split(",")]
+    # square edges ("1024") or explicit HxW geometries ("2144x4096")
+    sizes = [tuple(int(p) for p in s.split("x")) if "x" in s else int(s)
+             for s in args.sizes.split(",")]
     impls = args.impls.split(",")
     dirs = args.dirs.split(",")
     ka, kb = (int(s) for s in args.chains.split(","))
@@ -80,10 +107,12 @@ def main():
     # series[(dir, impl)] = [(pixels, secs_per_pixel, estimator), ...]
     series = {}
     for n in sizes:
-        stacks = _make_stacks((n, n), jnp.float32, ka, kb)
+        shape = n if isinstance(n, tuple) else (n, n)
+        stacks = _make_stacks(shape, jnp.float32, ka, kb)
+        px = shape[0] * shape[1]
         for direction in dirs:
             cands = dict(_pyramid_candidates(
-                args.wavelet, args.levels, direction, shape=(n, n),
+                args.wavelet, args.levels, direction, shape=shape,
                 dtype=jnp.float32))
             for impl in impls:
                 fn = cands.get(impl)
@@ -96,32 +125,16 @@ def main():
                     print(f"# {n}:{direction}:{impl} failed: "
                           f"{str(e)[:100]}", file=sys.stderr)
                     continue
-                spp = secs / (n * n)
+                spp = secs / px
                 series.setdefault((direction, impl), []).append(
-                    (n * n, spp, kind))
-                print(f"{direction:4s} {impl:13s} {n:5d}^2  "
-                      f"{spp * 1e9:8.3f} ns/pixel ({kind})")
+                    (px, spp, kind))
+                print(f"{direction:4s} {impl:13s} {shape[0]:5d}x"
+                      f"{shape[1]:<5d} {spp * 1e9:8.3f} ns/pixel ({kind})")
+                # flush after every row: a wedged compile (or an outer
+                # timeout) must not lose the measurements already taken
+                _write_outputs(series, args, device)
 
-    lines = []
-    tsv = ["# dir\timpl\tpixels\tsecs_per_pixel\testimator"]
-    for (direction, impl), rows in sorted(series.items()):
-        tag = "fwd" if direction == "fwd" else "finv"
-        fname = f"dir={tag}.impl={impl}.type=float32.txt"
-        with open(os.path.join(args.out_dir, fname), "w") as f:
-            f.write(f"# {device}: secs/pixel, {args.wavelet} "
-                    f"J={args.levels}"
-                    + (" (fwd+inv composite)" if tag == "finv" else "")
-                    + "\n")
-            for px, spp, kind in rows:
-                f.write(f"{px} {spp:.6e} # {kind}\n")
-        lines.append(f'\t"{fname}" with linespoints lw 2 '
-                     f'title "{impl} ({tag})", \\')
-        for px, spp, kind in rows:
-            tsv.append(f"{tag}\t{impl}\t{px}\t{spp:.6e}\t{kind}")
-    with open(os.path.join(args.out_dir, "plot.txt"), "w") as f:
-        f.write(GNUPLOT.format(lines="\n".join(lines).rstrip(", \\")))
-    with open(os.path.join(args.out_dir, "sweep.tsv"), "w") as f:
-        f.write("\n".join(tsv) + "\n")
+    _write_outputs(series, args, device)
 
     try:
         import matplotlib
