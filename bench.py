@@ -639,7 +639,21 @@ def main():
         extra["implied_bw_inv_gbps"] = round(mpix_inv * 1e6 * 8.0 / 1e9, 1)
         _log(f"inv: {best_inv * 1e3:.3f} ms/frame = {mpix_inv:.0f} Mpix/s")
 
-    # ---------------------------------------------- phase 3: 3-D volume
+    # ---------------------------------------------- phase 3: gates
+    gate_results = RESULT["extra"]["gates"]
+    rec_b = None
+    if coeffs_b is not None and _phase("gates", min_secs=120.0):
+        cs, rec_b = jax.jit(inv_mat)(coeffs_b)
+        float(cs)
+        _gates(xs_b, rec_b, gate_results)
+    elif coeffs_b is None:
+        gate_results["all"] = "skipped(deadline: no materialized coeffs)"
+    _refresh_claim()
+
+    # ------------------------------------- phase 4 (LAST): 3-D volume
+    # the transport wedged this phase repeatedly this round (the big
+    # host->device volume uploads); running it last means a wedge costs
+    # only the 3-D metric, never the validated 2-D claim or the gates
     mvox_s = 0.0
     if _phase("volume", min_secs=240.0):
         from libdwt_tpu.api import wavedec3
@@ -671,16 +685,6 @@ def main():
         extra["volume"] = [vz, vy, vx]
         extra["implied_bw_vol_gbps"] = round(mvox_s * 1e6 * 8.0 / 1e9, 1)
         _log(f"vol: {mvox_s:.0f} Mvox/s")
-
-    # ---------------------------------------------- phase 4: gates
-    gate_results = RESULT["extra"]["gates"]
-    rec_b = None
-    if coeffs_b is not None and _phase("gates", min_secs=120.0):
-        cs, rec_b = jax.jit(inv_mat)(coeffs_b)
-        float(cs)
-        _gates(xs_b, rec_b, gate_results)
-    elif coeffs_b is None:
-        gate_results["all"] = "skipped(deadline: no materialized coeffs)"
 
     # the final claim refresh (see _refresh_claim for the validity
     # rules: core-gate failures and impossible implied bandwidths zero
