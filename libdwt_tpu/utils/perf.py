@@ -101,6 +101,43 @@ def measure_perf_2d(
     return rows
 
 
+def measure_perf_1d(
+    transform: Callable,
+    lengths: Sequence[int] = (256, 1024, 4096, 16384, 65536),
+    batch: int = 64,
+    dtype=np.float32,
+    trials: int = 5,
+    fence: bool = True,
+) -> List[Tuple[int, float, float]]:
+    """Sweep 1-D signal lengths (a ``batch`` of rows per dispatch, the
+    way the reference sweeps M-signal working sets); returns
+    [(n, secs_per_sample, msamples_per_s)].
+
+    The dwt_util_measure_perf_cdf97_1_s analogue
+    (/root/reference/src/libdwt.c:22388)."""
+    rows = []
+    rng = np.random.RandomState(0)
+    for n in lengths:
+        x = jnp.asarray(rng.rand(batch, n).astype(dtype))
+
+        def fenced(a, _t=transform):
+            out = _t(a)
+            leaves = jax.lax.optimization_barrier(
+                tuple(jax.tree_util.tree_leaves(out))
+            )
+            s = sum(
+                jnp.sum(leaf.reshape(-1)[:1].astype(jnp.float32))
+                for leaf in leaves
+            )
+            return s, out
+
+        fn = jax.jit(fenced) if fence else jax.jit(transform)
+        secs = measure(fn, x, trials=trials, fence=fence)
+        sps = secs / (batch * n)
+        rows.append((n, sps, 1.0 / sps / 1e6))
+    return rows
+
+
 def save_tsv(path: str, rows: Sequence[Tuple]) -> None:
     """Write sweep rows as TSV (gnuplot input, the reference's output
     format at /root/reference/src/libdwt.c:22640-22641)."""

@@ -49,6 +49,8 @@ _CASES = {
     "perf_plot.py": ["--sizes", "64", "--levels", "2", "--impls",
                      "separable", "--dirs", "fwd", "--trials", "1",
                      "--chains", "2,4", "--out-dir", "/tmp/pp-test"],
+    "perf_line.py": ["--lengths", "256,1024", "--batch", "8",
+                     "--levels", "2", "--trials", "1"],
 }
 
 
