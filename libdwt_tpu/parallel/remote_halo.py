@@ -30,10 +30,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rdma_extend_rows"]
+__all__ = ["rdma_extend_rows", "rdma_extend_channels"]
 
 #: collective id for the pre-exchange neighbour barrier.
 _COLLECTIVE_ID = 7
+
+#: edge-shard mirror fills per exchanged quantity: (top_offset,
+#: bottom_back_offset) into flip-windows — 'signal' is the whole-point
+#: signal mirror (x[-m] = x[m]); 's'/'d' are the channel-domain rules
+#: of sharded._exchange_channels_inv (low channels mirror whole-point
+#: at the head and repeat at the tail, high channels the reverse).
+_EDGE_MODES = {"signal": (1, 1), "s": (1, 0), "d": (0, 1)}
 
 
 def rdma_extend_rows(
@@ -42,6 +49,8 @@ def rdma_extend_rows(
     mesh_axes: Sequence[str] = ("space",),
     halo: int = 4,
     interpret: bool = False,
+    edge_mode: str = "signal",
+    collective_id: int = _COLLECTIVE_ID,
 ) -> jax.Array:
     """Extend a row-sharded local block by ``halo`` rows per side, the
     neighbour rows arriving over RDMA (interior shards) and the global
@@ -52,13 +61,16 @@ def rdma_extend_rows(
     Must be called INSIDE ``shard_map`` over a mesh whose axis names
     are ``mesh_axes`` (the exchanged axis is ``axis_name``); the
     neighbour device id is the mesh coordinate tuple with that axis
-    shifted +-1.
+    shifted +-1.  ``edge_mode`` selects the global-border fill:
+    'signal' (whole-point signal mirror) or the channel-domain
+    's'/'d' rules (see _EDGE_MODES).
     """
     h, w = x.shape[-2], x.shape[-1]
     if x.ndim != 2:
         raise ValueError("rdma_extend_rows operates on 2-D local blocks")
     if h < halo + 1:
         raise ValueError(f"local block rows ({h}) must exceed halo ({halo})")
+    t_off, b_off = _EDGE_MODES[edge_mode]
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
 
@@ -130,7 +142,7 @@ def rdma_extend_rows(
         @pl.when(my == 0)
         def _():
             top_src = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(1, halo), :], mir.at[0], sems.at[1]
+                x_hbm.at[pl.ds(t_off, halo), :], mir.at[0], sems.at[1]
             )
             top_src.start()
             top_src.wait()
@@ -150,7 +162,8 @@ def rdma_extend_rows(
         @pl.when(my == n - 1)
         def _():
             bot_src = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(h - halo - 1, halo), :], mir.at[0], sems.at[2]
+                x_hbm.at[pl.ds(h - halo - b_off, halo), :], mir.at[0],
+                sems.at[2]
             )
             bot_src.start()
             bot_src.wait()
@@ -184,8 +197,33 @@ def rdma_extend_rows(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            collective_id=_COLLECTIVE_ID,
+            collective_id=collective_id,
         ),
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(jnp.asarray(idx, jnp.int32).reshape(1), x)
     return out
+
+
+def rdma_extend_channels(
+    s: jax.Array,
+    d: jax.Array,
+    axis_name: str,
+    mesh_axes: Sequence[str] = ("space",),
+    ch: int = 2,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Channel-domain halo exchange for the INVERSE transform: extend
+    the low ('s') and high ('d') channel blocks by ``ch`` rows per
+    side over RDMA, with the channel-domain mirror rules at the global
+    borders — the kernel-level equivalent of
+    ``sharded._exchange_channels_inv``.  Distinct collective ids keep
+    the two kernels' neighbour barriers from pairing across calls."""
+    s_ext = rdma_extend_rows(
+        s, axis_name, mesh_axes=mesh_axes, halo=ch, interpret=interpret,
+        edge_mode="s", collective_id=_COLLECTIVE_ID + 1,
+    )
+    d_ext = rdma_extend_rows(
+        d, axis_name, mesh_axes=mesh_axes, halo=ch, interpret=interpret,
+        edge_mode="d", collective_id=_COLLECTIVE_ID + 2,
+    )
+    return s_ext, d_ext

@@ -354,13 +354,18 @@ def _map_leading(fn, *arrays):
     return out.reshape(batch + out.shape[-2:])
 
 
-def _level_inv_local(ll, hl, lh, hh, wavelet, axis_name):
+def _level_inv_local(ll, hl, lh, hh, wavelet, axis_name, exchange=None):
     # stack the two band pairs along the (local) width so the channel
-    # halo exchange is ONE collective pair instead of two
+    # halo exchange is ONE collective pair instead of two.
+    # ``exchange`` substitutes an alternative halo transport (the RDMA
+    # kernel of parallel/remote_halo.py).
     w = ll.shape[-1]
     s = jnp.concatenate([ll, hl], axis=-1)
     d = jnp.concatenate([lh, hh], axis=-1)
-    s_ext, d_ext = _exchange_channels_inv(s, d, axis_name)
+    if exchange is None:
+        s_ext, d_ext = _exchange_channels_inv(s, d, axis_name)
+    else:
+        s_ext, d_ext = exchange(s, d)
     x = lift_inv(s_ext, d_ext, wavelet, axis=-2)
     keep = 2 * ll.shape[-2]
     x = x[..., 2 * CH : 2 * CH + keep, :]
@@ -535,9 +540,15 @@ def sharded_waverec2(
     col_axis: Optional[str] = None,
     use_fused: bool = False,
     kernel: Optional[str] = None,
+    halo_impl: str = "ppermute",
     interpret: bool = False,
 ):
     """Inverse of :func:`sharded_wavedec2` (same sharding convention).
+
+    ``halo_impl='rdma'`` exchanges the channel halos with the
+    kernel-level ``make_async_remote_copy`` push
+    (parallel/remote_halo.py) — 2-D pyramids, row sharding, jnp
+    lifting path only, like the forward.
 
     ``kernel='fused'`` (alias ``use_fused=True``) runs the per-shard
     inverse through the single-loop Pallas strip kernel after a
@@ -551,6 +562,14 @@ def sharded_waverec2(
     kernel = _resolve_kernel(kernel, use_fused)
     level = len(coeffs) - 1
     ll = coeffs[0]
+    if halo_impl not in ("ppermute", "rdma"):
+        raise ValueError("halo_impl must be 'ppermute' or 'rdma'")
+    if halo_impl == "rdma" and (col_axis is not None or ll.ndim != 2
+                                or kernel is not None):
+        raise ValueError(
+            "halo_impl='rdma' supports unbatched 2-D row sharding on "
+            "the jnp lifting path (no col_axis/kernel)"
+        )
     if col_axis is not None and kernel is not None:
         raise ValueError(
             "kernel= supports row sharding only (the strip kernels' "
@@ -589,13 +608,24 @@ def sharded_waverec2(
                 ll = level_inv_kernel(
                     ll, hl, lh, hh, wavelet, space_axis, interpret
                 )
+            elif halo_impl == "rdma":
+                from libdwt_tpu.parallel.remote_halo import (
+                    rdma_extend_channels,
+                )
+
+                ll = _level_inv_local(
+                    ll, hl, lh, hh, wavelet, space_axis,
+                    exchange=lambda s, d: rdma_extend_channels(
+                        s, d, space_axis, mesh_axes=mesh.axis_names,
+                        ch=CH, interpret=interpret),
+                )
             else:
                 ll = _level_inv_local(ll, hl, lh, hh, wavelet, space_axis)
         return ll
 
     return jax.shard_map(
         local_fn, mesh=mesh, in_specs=(in_specs,), out_specs=spec,
-        check_vma=kernel is None,
+        check_vma=not (kernel is not None or halo_impl == "rdma"),
     )(coeffs)
 
 

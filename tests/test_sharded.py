@@ -621,3 +621,19 @@ class TestShardedKernelBodies:
         x = jnp.zeros((512, 256), jnp.float32)
         with pytest.raises(ValueError, match="kernel"):
             sharded_wavedec2(x, "cdf97", 1, mesh=mesh, kernel="mxu")
+
+    def test_rdma_inverse_roundtrip(self):
+        """The channel-domain RDMA exchange (rdma_extend_channels, the
+        's'/'d' edge-mirror rules) must be bit-identical to the
+        ppermute inverse and round-trip the frame."""
+        mesh = make_mesh_2d(1, 8)
+        x = jnp.asarray(np.random.RandomState(3).rand(512, 256)
+                        .astype(np.float32))
+        c = sharded_wavedec2(x, "cdf97", 3, mesh=mesh, halo_impl="rdma",
+                             interpret=True)
+        rec = sharded_waverec2(c, "cdf97", mesh=mesh, halo_impl="rdma",
+                               interpret=True)
+        rec_pp = sharded_waverec2(c, "cdf97", mesh=mesh)
+        assert float(jnp.abs(rec - rec_pp).max()) == 0.0
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x),
+                                   atol=1e-4, rtol=0)
