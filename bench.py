@@ -89,6 +89,15 @@ WARMUP = 2
 #: total wall-clock budget (seconds).  The driver runs bench under its
 #: own timeout; ours must expire FIRST so the JSON line always prints.
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1380"))
+#: budget already consumed by a previous attempt of THIS run (set by the
+#: init-wedge re-exec, see _bounded_init); elapsed time carries over so
+#: the re-exec'd process still expires before the driver's timeout.
+_CONSUMED_S = float(os.environ.get("BENCH_CONSUMED_S", "0"))
+#: seconds allowed for the FIRST backend touch.  Round 4 wedged inside
+#: jax.devices() at phase "start" and sat the whole 1380 s budget
+#: (BENCH_r04.json); a bounded probe + one re-exec buys a fresh tunnel
+#: connection instead of forfeiting the round.
+INIT_TIMEOUT_S = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "240"))
 _T0 = time.time()
 
 #: best effective HBM copy bandwidth ever MEASURED on this part under
@@ -99,7 +108,7 @@ MEASURED_COPY_GBPS = {"v5 lite": 572.0, "v5e": 572.0}
 
 
 def _elapsed() -> float:
-    return time.time() - _T0
+    return time.time() - _T0 + _CONSUMED_S
 
 
 def _remaining() -> float:
@@ -142,7 +151,7 @@ def _watchdog() -> None:
     hanging whole processes inside a blocking device fetch
     (BENCH_NOTES.md) — a daemon thread can still print the partial
     JSON and _exit."""
-    end = _T0 + BUDGET_S + 10.0
+    end = _T0 + (BUDGET_S - _CONSUMED_S) + 10.0
     while not _EMITTED:
         left = end - time.time()
         if left <= 0:
@@ -152,6 +161,59 @@ def _watchdog() -> None:
             sys.stderr.flush()
             os._exit(0)
         time.sleep(min(left, 5.0))
+
+
+def _bounded_init() -> None:
+    """Bound the FIRST device touch (jax.devices() + one tiny program).
+
+    The remote tunnel has been observed wedging whole processes inside
+    backend init (BENCH_r04.json: phase "start", full budget burned).
+    The probe runs in a daemon thread with a hard timeout; on the first
+    wedge the process re-execs ONCE — a fresh process gets a fresh
+    tunnel connection — with the consumed budget carried over in env.
+    A second wedge emits the partial JSON immediately instead of
+    letting the watchdog sit out the rest of the budget.  The reference
+    bar: its perf protocol always produces its TSV
+    (/root/reference/src/libdwt.c:22559-22646)."""
+    import threading
+
+    attempt = int(os.environ.get("BENCH_INIT_ATTEMPT", "0"))
+    RESULT["extra"]["init_attempt"] = attempt
+    done: dict = {}
+
+    def probe():
+        try:
+            d = jax.devices()
+            out = jax.jit(lambda a: a + 1.0)(
+                jnp.zeros((8, 128), jnp.float32))
+            done["checksum"] = float(out[0, 0])
+            done["kind"] = d[0].device_kind
+        except BaseException as e:  # noqa: BLE001 - recorded, not raised
+            done["err"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    th = threading.Thread(target=probe, daemon=True)
+    t0 = time.time()
+    th.start()
+    th.join(min(INIT_TIMEOUT_S, max(30.0, _remaining() - 60.0)))
+    if th.is_alive():
+        RESULT["extra"]["init_wedged"] = round(time.time() - t0, 1)
+        if attempt == 0:
+            _log(f"backend init wedged after {time.time() - t0:.0f}s — "
+                 "re-exec for a fresh tunnel connection")
+            env = dict(os.environ)
+            env["BENCH_INIT_ATTEMPT"] = "1"
+            env["BENCH_CONSUMED_S"] = str(_elapsed())
+            sys.stderr.flush()
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        _log("backend init wedged twice — emitting partial result now")
+        RESULT["extra"]["error"] = "backend init wedged (two attempts)"
+        _emit(0)
+    if "err" in done:
+        _log(f"backend init FAILED: {done['err']} — emitting")
+        RESULT["extra"]["error"] = f"backend init: {done['err']}"
+        _emit(0)
+    _log(f"backend init ok ({done.get('kind')}, "
+         f"{time.time() - t0:.1f}s, attempt {attempt})")
 
 
 def _phase(name: str, min_secs: float = 60.0) -> bool:
@@ -193,7 +255,7 @@ def _fenced_time(fn, *args):
     return time.perf_counter() - t0
 
 
-def _measure_per_frame(fn_a, args_a, fn_b, args_b):
+def _measure_per_frame(fn_a, args_a, fn_b, args_b, on_progress=None):
     """Per-frame seconds from the two-length slope, min-of-N per length.
 
     Each pass times the short and the long chain BACK-TO-BACK in this
@@ -204,6 +266,11 @@ def _measure_per_frame(fn_a, args_a, fn_b, args_b):
     measurements and produced a nonsensical slope, fall back to the
     long chain's mean — an upper bound that still contains the fixed
     cost, i.e. conservative.
+
+    ``on_progress(per_frame_secs)`` fires after EVERY trial pair with
+    the current best estimate (slope if sane, else the long-chain upper
+    bound), so a transport wedge mid-measurement still leaves a
+    defensible number in the emission (VERDICT r04 weak #6).
     """
     best_a = best_b = float("inf")
 
@@ -212,6 +279,10 @@ def _measure_per_frame(fn_a, args_a, fn_b, args_b):
         for _ in range(TRIALS):
             best_a = min(best_a, _fenced_time(fn_a, *args_a))
             best_b = min(best_b, _fenced_time(fn_b, *args_b))
+            if on_progress is not None:
+                s = (best_b - best_a) / (CHAIN_B - CHAIN_A)
+                u = best_b / CHAIN_B
+                on_progress(s if 0.0 < s <= u else u)
 
     one_pass()
     for _ in range(2):
@@ -500,7 +571,7 @@ def _check_tuned(h: int, w: int) -> dict:
 
 def main():
     signal.signal(signal.SIGALRM, _deadline)
-    signal.alarm(int(BUDGET_S))
+    signal.alarm(max(1, int(BUDGET_S - _CONSUMED_S)))
     import threading
 
     threading.Thread(target=_watchdog, daemon=True).start()
@@ -513,6 +584,10 @@ def main():
     extra["frame"] = [h, w]
     extra["chains"] = [CHAIN_A, CHAIN_B]
     extra["budget_s"] = BUDGET_S
+    # the first device touch, bounded (everything below this line may
+    # talk to the backend; _check_tuned's _device_kind() was the r04
+    # wedge point)
+    _bounded_init()
     extra["tuned"] = _check_tuned(h, w)
 
     # rooflines first — they need no device work and every partial
@@ -606,11 +681,20 @@ def main():
         float(fwd(xs_a)[0])
         float(fwd(xs_b)[0])
     _phase("fwd_measure", min_secs=0.0)
+
+    def _fwd_progress(per):
+        # refresh the headline after every trial pair: any later wedge
+        # (watchdog emission) still ships the best number so far
+        RESULT["value"] = round((h * w) / per / 1e6, 1)
+        RESULT["extra"]["fwd_ms_per_frame"] = round(per * 1e3, 4)
+        RESULT["extra"]["fwd_estimate"] = "incremental"
+
     best_fwd, raw_fa, raw_fb, fwd_fallback = _measure_per_frame(
-        fwd, (xs_a,), fwd, (xs_b,)
+        fwd, (xs_a,), fwd, (xs_b,), on_progress=_fwd_progress
     )
     mpix_fwd = (h * w) / best_fwd / 1e6
     extra["fwd_ms_per_frame"] = round(best_fwd * 1e3, 4)
+    extra["fwd_estimate"] = "slope" if not fwd_fallback else "upper"
     extra["raw_chain_ms"] = {
         "fwd": [round(raw_fa * 1e3, 3), round(raw_fb * 1e3, 3)]}
     extra["slope_fallback"] = {"fwd": fwd_fallback}
