@@ -85,6 +85,28 @@ if DOT_EMISSION not in ("three", "two", "fused"):  # pragma: no cover
 #: legacy alias (True == 'fused'); prefer DOT_EMISSION.
 FUSED_DOT = False
 
+#: lane-panel width for the INTERLEAVED dot emissions ('two'/'fused').
+#: Mosaic's per-dot compile cost on a row-interleaved operand grows
+#: ~quadratically with the operand's LANE width (tools/repro_fused_dot
+#: bisection: 1.15 s/dot at 1024 lanes, 4.2 at 2048, >17.5 at 4096 —
+#: BENCH_NOTES round 4), so a 4096-lane frame is processed as 4
+#: 1024-lane column panels: 4x the dots at ~1/16 the unit cost = ~4x
+#: cheaper compile, same math (disjoint output columns).
+#: Must be a multiple of 128 (the interleave lowering's lane-width
+#: constraint); <= 0 disables paneling.  The 'three' emission has no
+#: interleaved operands and never panels.
+DOT_PANEL = int(_os.environ.get("LIBDWT_TPU_DOT_PANEL", "1024"))
+if DOT_PANEL > 0 and DOT_PANEL % 128:  # pragma: no cover
+    raise ValueError(
+        f"LIBDWT_TPU_DOT_PANEL={DOT_PANEL} must be a multiple of 128")
+
+
+def _lane_panels(c: int) -> List[Tuple[int, int]]:
+    """Static (start, width) panels covering ``c`` lanes."""
+    if DOT_PANEL <= 0 or c <= DOT_PANEL:
+        return [(0, c)]
+    return [(p, min(DOT_PANEL, c - p)) for p in range(0, c, DOT_PANEL)]
+
 
 def _mode() -> str:
     # honour a caller flipping the legacy flag
@@ -408,6 +430,16 @@ def apply_packed(x, mats_ref, metas, upcast: bool = False):
             preferred_element_type=jnp.float32,
         )
 
+    def _paneled(block_dot):
+        """Emit ``block_dot(p0, pw)`` per lane panel and stitch the
+        disjoint output columns back together — no cross-panel
+        accumulation, so results match the unpaneled dot up to the
+        backend dot's internal reduction order, while each dot's
+        operand lane width stays <= DOT_PANEL, under Mosaic's
+        compile-cost wall."""
+        cols = [block_dot(p0, pw) for p0, pw in _lane_panels(c)]
+        return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+
     if mode == "fused":
         x4 = jnp.concatenate(
             [xhi.reshape(n, 1, c), xlo.reshape(n, 1, c),
@@ -421,7 +453,10 @@ def apply_packed(x, mats_ref, metas, upcast: bool = False):
                 mats_ref[idx])
             win = jax.lax.slice_in_dim(x4, 4 * start, 4 * (start + wmax),
                                        axis=0)
-            parts.append(_dot(w4, win).astype(x.dtype))
+            parts.append(_paneled(
+                lambda p0, pw, win=win, w4=w4: _dot(
+                    w4, jax.lax.slice_in_dim(win, p0, p0 + pw, axis=1)
+                ).astype(x.dtype)))
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     if mode == "two":
@@ -439,9 +474,11 @@ def apply_packed(x, mats_ref, metas, upcast: bool = False):
             win2 = jax.lax.slice_in_dim(x2, 2 * start, 2 * (start + wmax),
                                         axis=0)
             hi_win = jax.lax.slice_in_dim(xhi, start, start + wmax, axis=0)
-            parts.append(
-                (_dot(whh, win2) + _dot(wlo, hi_win)).astype(x.dtype)
-            )
+            parts.append(_paneled(
+                lambda p0, pw, win2=win2, hi_win=hi_win, whh=whh, wlo=wlo:
+                (_dot(whh, jax.lax.slice_in_dim(win2, p0, p0 + pw, axis=1))
+                 + _dot(wlo, jax.lax.slice_in_dim(hi_win, p0, p0 + pw,
+                                                  axis=1))).astype(x.dtype)))
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     # 3-dot fallback: the [hi | lo] canvas halves are contiguous lane

@@ -216,3 +216,47 @@ def test_interleaved_dot_emissions_vs_oracle(mode, monkeypatch):
     for g, wref in zip(jax.tree_util.tree_leaves(out),
                        jax.tree_util.tree_leaves(want)):
         assert np.abs(np.asarray(g) - np.asarray(wref)).max() < 2e-4
+
+
+@pytest.mark.parametrize("mode", ["two", "fused"])
+def test_lane_paneled_dots_match_unpaneled(mode, monkeypatch):
+    """VERDICT r04 #2: the interleaved emissions lane-panel wide
+    operands (Mosaic's per-dot compile cost is ~quadratic in lane
+    width).  A dot split along RHS lanes computes disjoint output
+    columns, so results match the unpaneled dot up to the backend
+    dot's internal reduction order (no cross-panel accumulation)."""
+    from libdwt_tpu.ops import banded
+
+    monkeypatch.setattr(banded, "DOT_EMISSION", mode)
+    rng = np.random.RandomState(3)
+    n, c = 64, 640  # c spans 3 panels at DOT_PANEL=256
+    M = rng.randn(48, n).astype(np.float32)
+    x = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    mats, metas = banded.pack_blocks(
+        [tuple(banded.banded_blocks(M, block=48))], n)
+    ref = jnp.asarray(banded.split_bf16(mats))
+
+    def run():
+        return np.asarray(jax.jit(
+            lambda a: banded.apply_packed(a, ref, metas[0], upcast=True)
+        )(x))
+
+    monkeypatch.setattr(banded, "DOT_PANEL", 0)
+    want = run()
+    monkeypatch.setattr(banded, "DOT_PANEL", 256)
+    got = run()
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-5)
+    # and the math itself matches the dense product to bf16-split tol
+    dense = M @ np.asarray(x)
+    assert np.abs(got - dense).max() < 2e-4 * np.abs(dense).max()
+
+
+def test_lane_panels_cover_and_align():
+    from libdwt_tpu.ops import banded
+
+    for c in (128, 1024, 1152, 4096, 2176):
+        panels = [(0, c)] if c <= 1024 else [
+            (p, min(1024, c - p)) for p in range(0, c, 1024)]
+        assert banded._lane_panels(c) == panels
+        assert sum(w for _, w in banded._lane_panels(c)) == c
