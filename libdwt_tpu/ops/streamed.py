@@ -265,19 +265,22 @@ def streamed_dwt2_level(
 
     Equivalent to :func:`libdwt_tpu.ops.separable.dwt2_level`.
 
-    ``boundary_rows='extended'`` means the caller already supplied HALO
-    valid rows above and below the image (x has h+2*HALO rows) — the
+    ``boundary_rows='extended'`` means the caller already supplied TOP
+    (8) valid rows above and below the image (x has h+2*TOP rows) — the
     sharded halo-exchange case (parallel/sharded.py) — so no row
     mirror fills are emitted; columns still mirror in-lane.  The
-    don't-care buffer rows outside the extension never reach a kept
-    output (the analysis support radius is HALO).
+    extension is TOP deep (not the analysis support radius HALO=4) so
+    every strip DMA window keeps 8-aligned sublane offsets and lengths:
+    with E=TOP the source start is exactly i*ty — a 4-row extension
+    shifted every window to 4 mod 8, the same Mosaic constraint
+    :func:`tail_aligned` guards (ADVICE r04).
     """
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
     if boundary_rows not in ("mirror", "extended"):
         raise ValueError("boundary_rows must be 'mirror' or 'extended'")
     ext_mode = boundary_rows == "extended"
-    E = HALO if ext_mode else 0
+    E = TOP if ext_mode else 0
     h = x.shape[0] - 2 * E
     w = x.shape[1]
     if h % 2 or w % 2:
@@ -542,16 +545,19 @@ def streamed_idwt2_level(
     (the virt2real rules of /root/reference/src/dwt-sym.c:434-534 in
     the channel domain) are materialized in VMEM on edge strips only.
 
-    ``boundary_rows='extended'`` means every band carries CMIR valid
+    ``boundary_rows='extended'`` means every band carries TOP (8) valid
     channel-halo rows above and below (the sharded channel exchange,
-    parallel/sharded.py), so no channel mirrors are emitted.
+    parallel/sharded.py), so no channel mirrors are emitted.  TOP deep
+    (not the synthesis fix radius CMIR=4) so every band DMA window
+    keeps 8-aligned sublane offsets/lengths — see the forward kernel's
+    note (ADVICE r04).
     """
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
     if boundary_rows not in ("mirror", "extended"):
         raise ValueError("boundary_rows must be 'mirror' or 'extended'")
     ext_mode = boundary_rows == "extended"
-    E = CMIR if ext_mode else 0
+    E = TOP if ext_mode else 0
     cy = ll.shape[0] - 2 * E
     cx = ll.shape[1]
     h, w = 2 * cy, 2 * cx
@@ -654,8 +660,11 @@ def streamed_idwt2_2level(
 
     ``body='mxu'`` (float only) runs the synthesis lifting as banded
     matmuls on the MXU (ops/banded.py); the per-band channel-mirror
-    fixes stay on the VPU.  Default 'auto' picks mxu for float32
-    (see :func:`_resolve_inv_body`)."""
+    fixes stay on the VPU.  Default 'auto' keeps the exact VPU
+    polyphase body below POLY_INV_SAFE_PIXELS and resolves to the
+    bf16-split MXU body only at the 4K-class float32 geometries where
+    Mosaic cannot compile the polyphase synthesis (see
+    :func:`_resolve_inv_body`)."""
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
     hl2, lh2, hh2 = bands2
@@ -849,8 +858,9 @@ def streamed_waverec2(coeffs, wavelet="cdf97", strip_rows: int = 0,
     pytree): streamed 2-level inverses from the coarse end down, with
     the fused/XLA tail for small or odd-geometry levels.  ``body``
     selects the strip synthesis body ('poly' VPU polyphase / 'mxu'
-    banded matmuls, float32 only; default 'auto' = mxu for float32,
-    see :func:`_resolve_inv_body`)."""
+    banded matmuls, float32 only; default 'auto' keeps poly below
+    POLY_INV_SAFE_PIXELS and falls to mxu only at 4K-class float32
+    geometry, see :func:`_resolve_inv_body`)."""
     from libdwt_tpu.ops.fused import fused_waverec2
 
     if len(coeffs) >= 4 and coeffs[0].ndim == 2:
@@ -1156,8 +1166,9 @@ def streamed_waverec2_deep(
 
     ``body='mxu'`` (float only) runs the STRIP synthesis lifting as
     banded matmuls on the MXU (ops/banded.py); the small deep tail and
-    the channel-mirror fixes stay on the VPU.  Default 'auto' picks
-    mxu for float32 (see :func:`_resolve_inv_body`)."""
+    the channel-mirror fixes stay on the VPU.  Default 'auto' keeps
+    poly below POLY_INV_SAFE_PIXELS and falls to mxu only at 4K-class
+    float32 geometry (see :func:`_resolve_inv_body`)."""
     wavelet = get_wavelet(wavelet)
     _check_fused_supported(wavelet)
     levels = len(coeffs) - 1

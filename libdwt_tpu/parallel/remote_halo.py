@@ -64,6 +64,13 @@ def rdma_extend_rows(
     shifted +-1.  ``edge_mode`` selects the global-border fill:
     'signal' (whole-point signal mirror) or the channel-domain
     's'/'d' rules (see _EDGE_MODES).
+
+    VALIDATION STATUS: interpret-mode only (the virtual CPU mesh; no
+    multi-chip hardware exists here).  The compiled multi-chip kernel
+    issues ``halo``-row DMA slices at arbitrary row offsets — the same
+    sublane-alignment exposure ops.streamed gates with tail_aligned —
+    so before relying on it on a real slice, run it once at halo=8
+    geometry or pad the slices (ADVICE r04).
     """
     h, w = x.shape[-2], x.shape[-1]
     if x.ndim != 2:

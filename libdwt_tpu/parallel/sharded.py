@@ -116,14 +116,18 @@ def _check_mirror_safe(wavelet):
 # ------------------------------------------------------------- halo helpers
 
 
-def _exchange_fwd(x: jax.Array, axis_name: str, axis: int = -2) -> jax.Array:
-    """Extend a local block by HALO signal samples on each side of
+def _exchange_fwd(x: jax.Array, axis_name: str, axis: int = -2,
+                  halo: int = HALO) -> jax.Array:
+    """Extend a local block by ``halo`` signal samples on each side of
     ``axis``.
 
     Interior shards receive neighbours' boundary samples over the mesh
     interconnect; edge shards fill the halo with the whole-point mirror
     of their own samples (x[-m] := x[m]), reproducing the reference's
     symmetric border extension (/root/reference/src/dwt-sym.c:434-450).
+    ``halo`` defaults to the analysis support radius (HALO=4); the
+    streamed per-shard kernels exchange a full 8-row halo so their DMA
+    windows stay sublane-aligned (see ops.streamed, ADVICE r04).
     """
     n_dev = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -134,18 +138,19 @@ def _exchange_fwd(x: jax.Array, axis_name: str, axis: int = -2) -> jax.Array:
     def take(s, e):
         return jax.lax.slice_in_dim(x, s, e, axis=axis)
 
-    from_above = jax.lax.ppermute(take(L - HALO, L), axis_name, down_perm)
-    from_below = jax.lax.ppermute(take(0, HALO), axis_name, up_perm)
-    top_mirror = jnp.flip(take(1, HALO + 1), axis=axis)
-    bot_mirror = jnp.flip(take(L - HALO - 1, L - 1), axis=axis)
+    from_above = jax.lax.ppermute(take(L - halo, L), axis_name, down_perm)
+    from_below = jax.lax.ppermute(take(0, halo), axis_name, up_perm)
+    top_mirror = jnp.flip(take(1, halo + 1), axis=axis)
+    bot_mirror = jnp.flip(take(L - halo - 1, L - 1), axis=axis)
     top = jnp.where(idx == 0, top_mirror, from_above)
     bot = jnp.where(idx == n_dev - 1, bot_mirror, from_below)
     return jnp.concatenate([top, x, bot], axis=axis)
 
 
-def _exchange_rows_fwd(x: jax.Array, axis_name: str) -> jax.Array:
+def _exchange_rows_fwd(x: jax.Array, axis_name: str,
+                       halo: int = HALO) -> jax.Array:
     """Row-axis (-2) specialization of :func:`_exchange_fwd`."""
-    return _exchange_fwd(x, axis_name, axis=-2)
+    return _exchange_fwd(x, axis_name, axis=-2, halo=halo)
 
 
 def _exchange_channels_inv(
@@ -294,11 +299,13 @@ def _level_fwd_local_streamed(ll, wavelet, axis_name, interpret):
     the fused variant, then the streamed strip kernel per extended
     block.  Levels whose local block is too small for the strip
     pipeline run the fused grid kernel instead."""
-    from libdwt_tpu.ops.streamed import streamed_dwt2_level
+    from libdwt_tpu.ops.streamed import TOP, streamed_dwt2_level
 
     if not _streamed_block_ok(ll.shape[-2], ll.shape[-1], wavelet):
         return _level_fwd_local_fused(ll, wavelet, axis_name, interpret)
-    ext = _exchange_rows_fwd(ll, axis_name)
+    # TOP (8) deep, not HALO: the strip DMA windows of the extended
+    # kernel must stay 8-aligned on the sublane axis (ADVICE r04)
+    ext = _exchange_rows_fwd(ll, axis_name, halo=TOP)
 
     def run(e):
         return streamed_dwt2_level(
@@ -310,12 +317,13 @@ def _level_fwd_local_streamed(ll, wavelet, axis_name, interpret):
 
 def _level_inv_local_streamed(ll, hl, lh, hh, wavelet, axis_name, interpret):
     """Streamed-kernel inverse variant: one stacked channel-halo
-    exchange (CMIR deep, once for the whole batch), then the streamed
+    exchange (TOP=8 deep so the extended kernel's DMA windows stay
+    8-aligned, ADVICE r04; once for the whole batch), then the streamed
     inverse strip kernel per extended band set.  Levels whose local
     block is too small for the strip pipeline run the fused grid
     kernel instead (geometry checked BEFORE the exchange so no orphan
     collectives are traced)."""
-    from libdwt_tpu.ops.streamed import CMIR, streamed_idwt2_level
+    from libdwt_tpu.ops.streamed import TOP, streamed_idwt2_level
 
     if not _streamed_block_ok(2 * ll.shape[-2], 2 * ll.shape[-1], wavelet):
         return _level_inv_local_fused(ll, hl, lh, hh, wavelet, axis_name,
@@ -323,7 +331,7 @@ def _level_inv_local_streamed(ll, hl, lh, hh, wavelet, axis_name, interpret):
     w = ll.shape[-1]
     s = jnp.concatenate([ll, hl], axis=-1)
     d = jnp.concatenate([lh, hh], axis=-1)
-    s_ext, d_ext = _exchange_channels_inv(s, d, axis_name, ch=CMIR)
+    s_ext, d_ext = _exchange_channels_inv(s, d, axis_name, ch=TOP)
 
     def run(se, de):
         return streamed_idwt2_level(

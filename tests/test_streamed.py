@@ -337,3 +337,37 @@ def test_tail_alignment_gate():
     got = streamed_dwt2_level(x, "cdf97", strip_rows=256, interpret=True)
     want = dwt2_level(x, "cdf97")
     assert _maxdiff(got, want) < FTOL
+
+
+def test_extended_mode_dma_windows_sublane_aligned():
+    """ADVICE r04: boundary_rows='extended' used to extend by the
+    4-row analysis halo, shifting every strip DMA window to 4 mod 8 —
+    breaking the Mosaic 8-alignment invariant tail_aligned guards.
+    The contract is now a TOP(8)-row extension: every source start,
+    length and buffer offset is 8-aligned for all supported
+    geometries."""
+    from libdwt_tpu.ops.streamed import TOP, _strip_geom, pick_strip
+
+    for h in (512, 1024, 2144, 4096, 544):
+        for preferred in (128, 256, 320, 416, 480):
+            ty = pick_strip(h, preferred)
+            ny = -(-h // ty)
+            if ny < 2:
+                continue
+            # forward: signal-domain windows over h + 2*TOP rows
+            for i in range(ny):
+                _, s, L, o = _strip_geom(i, h + 2 * TOP, ty, TOP,
+                                         origin=TOP)
+                rem = h - (ny - 1) * ty
+                if rem % 32 == 0:  # the compiled-path tail gate
+                    assert s % 8 == 0 and L % 8 == 0 and o % 8 == 0, (
+                        h, ty, i, s, L, o)
+            # inverse: channel-domain windows over cy + 2*TOP rows
+            hy, cy = ty // 2, h // 2
+            for i in range(ny):
+                _, s, L, o = _strip_geom(i, cy + 2 * TOP, hy, TOP,
+                                         origin=TOP)
+                rem = h - (ny - 1) * ty
+                if rem % 32 == 0:
+                    assert s % 8 == 0 and L % 8 == 0 and o % 8 == 0, (
+                        h, ty, i, s, L, o)
