@@ -31,6 +31,8 @@ __all__ = [
     "fix_mul",
     "lift_fwd_fix",
     "lift_inv_fix",
+    "dwt2_fix",
+    "idwt2_fix",
 ]
 
 
@@ -181,3 +183,47 @@ def lift_inv_fix(s, d, wavelet="cdf97", q: QFormat = FIX32) -> jax.Array:
     out = out.at[..., 0::2].set(s)
     out = out.at[..., 1::2].set(d)
     return out
+
+
+def _col_apply(fn, *arrays):
+    """Apply a last-axis pair-function along axis -2 via a swapaxes
+    sandwich (XLA fuses the transposes; no strided tricks needed on
+    the oracle-precision path)."""
+    swapped = [jnp.swapaxes(a, -1, -2) for a in arrays]
+    out = fn(*swapped)
+    if isinstance(out, tuple):
+        return tuple(jnp.swapaxes(o, -1, -2) for o in out)
+    return jnp.swapaxes(out, -1, -2)
+
+
+def dwt2_fix(x, wavelet="cdf97", q: QFormat = FIX32
+             ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Single-level 2-D fixed-point analysis -> (LL, HL, LH, HH).
+
+    The 2-D Q-format transform of the reference's cores example —
+    cores2f_cdf97_v2x2_i32 / the FIX16 5/3 variants
+    (/root/reference/examples/cores/cores.c, cores.h:17-60; Q formats
+    fix.h:7-26) — as row then column passes of :func:`lift_fwd_fix`
+    (the 2x2 core fuses the same two passes per output pixel; the
+    arithmetic per sample is identical: one rounded multiply per
+    symmetric step and per scaling).
+
+    ``x`` is Q-format data (:func:`to_fix`); subband layout matches
+    :func:`libdwt_tpu.ops.separable.dwt2_level`.
+    """
+    l, h = lift_fwd_fix(x, wavelet, q)              # row pass (lanes)
+    ll, lh = _col_apply(lambda a: lift_fwd_fix(a, wavelet, q), l)
+    hl, hh = _col_apply(lambda a: lift_fwd_fix(a, wavelet, q), h)
+    return ll, hl, lh, hh
+
+
+def idwt2_fix(ll, hl, lh, hh, wavelet="cdf97", q: QFormat = FIX32
+              ) -> jax.Array:
+    """Single-level 2-D fixed-point synthesis (inverse of
+    :func:`dwt2_fix`).  Quantization makes the round trip approximate
+    — the reference verifies its fixed-point cores by MSE against the
+    float transform (/root/reference/examples/cores/main.c:53-84), and
+    tests/test_fix2d.py holds this path to the same standard."""
+    l = _col_apply(lambda a, b: lift_inv_fix(a, b, wavelet, q), ll, lh)
+    h = _col_apply(lambda a, b: lift_inv_fix(a, b, wavelet, q), hl, hh)
+    return lift_inv_fix(l, h, wavelet, q)
