@@ -44,6 +44,9 @@ _CASES = {
                          "--ridges", "6"],
     "info.py": [],
     "simple_variants.py": ["--size", "64", "--levels", "2"],
+    "interop_subbands.py": ["--size", "50", "--levels", "2"],
+    "spectra_svm.py": ["--n-signals", "32", "--length", "128",
+                       "--levels", "3", "--features", "wps"],
     "spectra_dwt.py": ["--n-signals", "4", "--length", "128",
                        "--levels", "2"],
     "perf_plot.py": ["--sizes", "64", "--levels", "2", "--impls",
