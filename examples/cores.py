@@ -63,12 +63,23 @@ def run_fix(qname: str, wavelet: str, size: int) -> float:
     return _mse(sig, rec)
 
 
+def run_fix2d(qname: str, wavelet: str, size: int) -> float:
+    """Fixed-point 2-D core round trip (cores2f_cdf97_v2x2_i32 / the
+    FIX16 5/3 variants, /root/reference/examples/cores/cores.h:17-60)."""
+    q = {"fix32": fix.FIX32, "fix16": fix.FIX16}[qname]
+    img = jnp.asarray(test_image(size, size))
+    bands = fix.dwt2_fix(fix.to_fix(img, q), wavelet, q)
+    rec = fix.from_fix(fix.idwt2_fix(*bands, wavelet, q), q)
+    return _mse(img, rec)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--core",
         default="all",
-        choices=["all", "fused", "nsls", "separable", "fix32", "fix16"],
+        choices=["all", "fused", "nsls", "separable", "fix32", "fix16",
+                 "fix32-2d", "fix16-2d"],
     )
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--dump", action="store_true", help="write PGM files")
@@ -88,12 +99,18 @@ def main():
             cases.append(("separable", wav, 1e-9))
     if args.core in ("all", "fix32"):
         cases.append(("fix32", "cdf97", 1e-6))
+    if args.core in ("all", "fix32-2d"):
+        cases.append(("fix32-2d", "cdf97", 1e-6))
     if args.core in ("all", "fix16"):
         cases.append(("fix16", "cdf53", 1e-2))
+    if args.core in ("all", "fix16-2d"):
+        cases.append(("fix16-2d", "cdf53", 1e-2))
 
     failures = 0
     for core, wav, tol in cases:
-        if core in ("fix32", "fix16"):
+        if core in ("fix32-2d", "fix16-2d"):
+            mse = run_fix2d(core[:-3], wav, min(args.size, 128))
+        elif core in ("fix32", "fix16"):
             mse = run_fix(core, wav, args.size)
         else:
             mse = run_2d(core, wav, args.size, args.dump and core == "fused")
