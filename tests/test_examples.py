@@ -45,6 +45,7 @@ _CASES = {
     "info.py": [],
     "simple_variants.py": ["--size", "64", "--levels", "2"],
     "interop_subbands.py": ["--size", "50", "--levels", "2"],
+    "accel_matrix.py": ["--size", "128", "--levels", "2"],
     "spectra_svm.py": ["--n-signals", "32", "--length", "128",
                        "--levels", "3", "--features", "wps"],
     "spectra_dwt.py": ["--n-signals", "4", "--length", "128",
