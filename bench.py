@@ -487,6 +487,13 @@ def _gates(xs, rec, gate_results):
         rec1 = sharded_waverec2(got, "cdf97", mesh=mesh, kernel="streamed")
         dr = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(rec1, xs1))
         assert dr <= 1e-3, f"sharded(mesh1) round trip |err|={dr}"
+        # the fused strip kernels' extended mode, compiled, same mesh
+        gotf = sharded_wavedec2(xs1, "cdf97", 2, mesh=mesh, kernel="fused")
+        df = float(jax.jit(_tree_max_abs_diff)(gotf, want))
+        assert df <= 5e-4, f"sharded(mesh1) fused vs oracle |diff|={df}"
+        recf = sharded_waverec2(gotf, "cdf97", mesh=mesh, kernel="fused")
+        drf = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(recf, xs1))
+        assert drf <= 1e-3, f"sharded(mesh1) fused round trip |err|={drf}"
 
     # 6. the timed 3-D dispatch path vs the separable oracle (the
     # fwd3d_mvox_s metric must not ship wrong-fast)
