@@ -260,3 +260,37 @@ def test_lane_panels_cover_and_align():
             (p, min(1024, c - p)) for p in range(0, c, 1024)]
         assert banded._lane_panels(c) == panels
         assert sum(w for _, w in banded._lane_panels(c)) == c
+
+
+@pytest.mark.slow
+def test_deep_mxu_multi_panel_two_emission(monkeypatch):
+    """End-to-end deep streamed MXU kernel with the lane-paneled 'two'
+    emission spanning multiple panels (w=2048 at DOT_PANEL=512): the
+    4K compile-lever configuration, validated against the oracle in
+    interpret mode."""
+    from libdwt_tpu.ops import banded
+    from libdwt_tpu.ops.streamed import (
+        streamed_wavedec2_deep, streamed_waverec2_deep,
+    )
+    from libdwt_tpu.api import wavedec2
+
+    monkeypatch.setattr(banded, "DOT_EMISSION", "two")
+    monkeypatch.setattr(banded, "DOT_PANEL", 512)
+    streamed_wavedec2_deep.clear_cache()
+    streamed_waverec2_deep.clear_cache()
+    try:
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(1024, 2048).astype(np.float32))
+        got = streamed_wavedec2_deep(x, "cdf97", 3, interpret=True,
+                                     body="mxu")
+        want = jax.jit(
+            lambda a: wavedec2(a, "cdf97", 3, impl="separable"))(x)
+        for g, w_ in zip(jax.tree_util.tree_leaves(got),
+                         jax.tree_util.tree_leaves(want)):
+            assert np.abs(np.asarray(g) - np.asarray(w_)).max() < 2e-3
+        rec = streamed_waverec2_deep(got, "cdf97", interpret=True,
+                                     body="mxu")
+        assert float(jnp.max(jnp.abs(rec - x))) < 2e-3
+    finally:
+        streamed_wavedec2_deep.clear_cache()
+        streamed_waverec2_deep.clear_cache()
